@@ -1,0 +1,179 @@
+"""Blocking-key DSL + skew salting as vectorized Ray Data stages.
+
+Key modes mirror the reference mini-DSL (addresskit/matching/blocking.py:17-52):
+``prefixN``, ``digits+prefixN``, ``province+district`` — extended with
+``phonetic+prefixN`` (phonetic first street-ish token + alnum prefix)
+per the north-star spec. The reference's default "" (single bucket) is
+rejected at scale: an empty mode raises unless ``allow_single_bucket``.
+
+Salting: blocks whose row count exceeds ``salt_over`` get a ``salt``
+column ``hash(id) % num_salts``; the pairwise scorer then compares
+(left salt i) x (full right bucket) so the union of salted sub-blocks
+covers exactly the original pair set (documented superset contract:
+pairs are preserved, only the grouping is split).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_RE_NON_ALNUM = re.compile(r"[^a-z0-9ğüşöçı]", re.UNICODE)
+_RE_DIGITS = re.compile(r"\d+")
+_RE_MODE_N = re.compile(r"\d+")
+
+
+def alnum_lower(s: str) -> str:
+    """Mirrors ``_alnum_lower`` (blocking.py:7-10): lowercase, keep
+    [a-z0-9ğüşöçı] only."""
+    return _RE_NON_ALNUM.sub("", (s or "").lower())
+
+
+def first_digits(s: str) -> str:
+    m = _RE_DIGITS.findall(s or "")
+    return m[0] if m else ""
+
+
+_PHONETIC_DROP = str.maketrans("", "", "aeiouıöü")
+
+
+def phonetic_token(s: str) -> str:
+    """Cheap deterministic phonetic code: first alpha token, diacritics
+    kept out by alnum_lower upstream, vowels dropped after the leading
+    char, consecutive duplicates collapsed (Soundex-flavoured, no table
+    dependency)."""
+    tok = ""
+    for t in (s or "").split():
+        t2 = _RE_NON_ALNUM.sub("", t.lower())
+        if t2 and not t2.isdigit():
+            tok = t2
+            break
+    if not tok:
+        return ""
+    head, rest = tok[0], tok[1:].translate(_PHONETIC_DROP)
+    out = [head]
+    for ch in rest:
+        if ch != out[-1]:
+            out.append(ch)
+    return "".join(out)[:6]
+
+
+def make_block_key(row: dict, text_col: str, mode: str,
+                   allow_single_bucket: bool = True) -> str:
+    """Row-level key builder (reference blocking.py:17-52 semantics)."""
+    mode = (mode or "").lower().strip()
+    txt = row.get(text_col, "") or ""
+
+    if mode.startswith("digits+prefix"):
+        n = int(_RE_MODE_N.findall(mode)[0])
+        return f"{first_digits(txt)}|{alnum_lower(txt)[:n]}"
+    if mode.startswith("phonetic+prefix"):
+        n = int(_RE_MODE_N.findall(mode)[0])
+        return f"{phonetic_token(txt)}|{alnum_lower(txt)[:n]}"
+    if mode.startswith("prefix"):
+        n = int(_RE_MODE_N.findall(mode)[0])
+        return alnum_lower(txt)[:n]
+    if mode == "province+district":
+        for a, b in (("il", "ilce"), ("province", "district"),
+                     ("city", "county")):
+            va = (row.get(a, "") or "").lower().strip()
+            vb = (row.get(b, "") or "").lower().strip()
+            if va or vb:
+                return f"{va}|{vb}"
+        return alnum_lower(txt)[:8]
+    if not allow_single_bucket:
+        raise ValueError(
+            "blocking mode '' means a single global bucket (reference "
+            "blocking.py:51-52) — unbounded skew; forbidden at scale"
+        )
+    return ""
+
+
+def make_block_key_batch_fn(text_col: str, mode: str,
+                            out_col: str = "block_key",
+                            allow_single_bucket: bool = False):
+    """Vectorized batch kernel adding ``block_key``."""
+    mode_l = (mode or "").lower().strip()
+    if not mode_l and not allow_single_bucket:
+        raise ValueError("empty blocking mode forbidden (single bucket)")
+
+    def block_batch(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        rows_needed = mode_l == "province+district"
+        texts = batch.column(text_col).to_pylist() if text_col in cols else [""] * batch.num_rows
+        if rows_needed:
+            aux = {
+                c: batch.column(c).to_pylist()
+                for c in ("il", "ilce", "province", "district", "city", "county")
+                if c in cols
+            }
+            keys = [
+                make_block_key(
+                    {**{k: v[i] for k, v in aux.items()}, text_col: texts[i]},
+                    text_col, mode_l)
+                for i in range(batch.num_rows)
+            ]
+        else:
+            keys = [
+                make_block_key({text_col: t}, text_col, mode_l)
+                for t in texts
+            ]
+        if out_col in cols:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, pa.array(keys, pa.string()))
+
+    return block_batch
+
+
+def add_block_keys(ds, text_col: str, mode: str, out_col: str = "block_key",
+                   allow_single_bucket: bool = False, batch_size: int = 8192):
+    return ds.map_batches(
+        make_block_key_batch_fn(text_col, mode, out_col, allow_single_bucket),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def block_size_histogram(ds, key_col: str = "block_key"):
+    """Per-block row counts (skew diagnostics; fed into lineage metrics).
+    Pre-aggregates inside map_batches before the small groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key_col]).group_by(key_col).aggregate(
+            [(key_col, "count")]
+        )
+        return tbl.rename_columns([key_col, "n"])
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    return partials.groupby(key_col).aggregate(Sum("n", alias_name="block_rows"))
+
+
+def add_salt(ds, id_col: str, hot_keys: set[str] | dict,
+             num_salts: int = 8, key_col: str = "block_key",
+             out_col: str = "salt"):
+    """Add ``salt = hash(id) % num_salts`` for rows whose block key is in
+    ``hot_keys``; 0 elsewhere. hash = deterministic fnv over the id
+    string (stable across processes, unlike Python's seeded hash)."""
+    hot = set(hot_keys)
+
+    def fnv(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def salt_batch(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        salts = [
+            fnv(str(i)) % num_salts if k in hot else 0
+            for k, i in zip(keys, ids)
+        ]
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, pa.array(salts, pa.int32()))
+
+    return ds.map_batches(salt_batch, batch_format="pyarrow")

@@ -1,0 +1,130 @@
+"""Distributed connected components over a match-edge Dataset.
+
+Hash-min label propagation (cf. the hash-min family of CC algorithms on
+MapReduce/Spark, e.g. "Connected Components in MapReduce and Beyond"):
+every node starts with label = its own id; each round propagates labels
+across edges and keeps the minimum per node via
+``groupby(node).aggregate(Min(label))``; converges in O(diameter)
+rounds (logarithmic for the short chains record-linkage produces).
+
+Absent in the reference (which stops at pairwise edges, match.py:174);
+required by the north rule ("transitive-clustering"). J8 in SURVEY §2.4.
+
+Convergence detection without an extra join: labels only ever decrease
+(min is monotone), so the sum over nodes of fnv64(node || label) changes
+iff some label changed; we stop when the signature is stable (plus a
+hard ``max_rounds`` bound).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Min, Sum
+
+
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _sym_edges(edges, src: str, dst: str):
+    """(u,v) -> both directions, columns (node, nbr), self-pairs dropped."""
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch.column(src).cast(pa.string())
+        v = batch.column(dst).cast(pa.string())
+        node = pa.chunked_array([u, v]).combine_chunks()
+        nbr = pa.chunked_array([v, u]).combine_chunks()
+        t = pa.table({"node": node, "nbr": nbr})
+        return t.filter(pc.invert(pc.equal(t["node"], t["nbr"])))
+
+    return edges.map_batches(sym, batch_format="pyarrow")
+
+
+def _label_signature(labels) -> int:
+    def partial(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_pylist()
+        labs = batch.column("label").to_pylist()
+        s = sum(_fnv64(f"{n}\x00{l}") for n, l in zip(nodes, labs)) \
+            & 0x7FFFFFFFFFFFFFFF
+        return pa.table({"sig": pa.array([s], pa.int64())})
+
+    parts = labels.map_batches(partial, batch_format="pyarrow")
+    total = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for v in b.column("sig").to_pylist():
+            total = (total + v) & 0x7FFFFFFFFFFFFFFF
+    return total
+
+
+def connected_components(edges, src: str = "left_id", dst: str = "right_id",
+                         max_rounds: int = 50, num_partitions: int = 16):
+    """edges Dataset -> clusters Dataset (id, cluster_id) covering every
+    node incident to an edge. cluster_id = lexicographic min node id of
+    the component (order-free, deterministic)."""
+    sym = _sym_edges(edges, src, dst).materialize()
+
+    # initial labels: label(node) = node
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "label": batch["node"]})
+
+    labels = (
+        sym.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    sig = _label_signature(labels)
+    for _ in range(max_rounds):
+        # neighbor labels: join sym(node, nbr) with labels on node,
+        # emit (nbr, label); union with self labels; min per node
+        prop = sym.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("node",),
+        )
+
+        def to_candidates(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch["nbr"], "label": batch["label"]}
+            )
+
+        cand = prop.map_batches(to_candidates, batch_format="pyarrow")
+        labels = (
+            cand.union(labels.select_columns(["node", "label"]))
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_sig = _label_signature(labels)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["node"], "cluster_id": batch["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def connected_components_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find oracle for tests (small inputs only)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(str(a)), find(str(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}

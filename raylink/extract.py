@@ -1,0 +1,77 @@
+"""HTML -> text extraction as a stateful actor-pool ``map_batches`` stage.
+
+The north-star requires "a stateful actor-pool map_batches stage
+extracts text ... per page (byte-identical extracted text per url)".
+The reference has no HTML layer (its inputs are already text CSVs —
+addresskit/normalize.py:139-171), so the extraction contract is defined
+by the fixture generator: pages.html wraps pages.text in a fixed
+boilerplate template (fixtures.page_html) and the extractor must invert
+it byte-identically. Encoding tolerance mirrors the reference's decode
+chain UTF-8-SIG -> UTF-8 -> cp1254 (addresskit/normalize.py:19-27).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+
+import pyarrow as pa
+
+
+def decode_bytes(data: bytes) -> str:
+    """UTF-8-SIG -> UTF-8 -> cp1254 fallback chain
+    (reference addresskit/normalize.py:19-27)."""
+    for enc in ("utf-8-sig", "utf-8"):
+        try:
+            return data.decode(enc)
+        except UnicodeDecodeError:
+            pass
+    return data.decode("cp1254")
+
+
+class ExtractText:
+    """Actor-pool stage: compiled extraction regex + entity unescaper
+    built once per actor (__init__), applied per batch (__call__).
+
+    Usage::
+
+        pages.map_batches(ExtractText, batch_format="pyarrow",
+                          batch_size=1024, concurrency=4, num_cpus=1)
+    """
+
+    def __init__(self, html_col: str = "html", out_col: str = "text_extracted"):
+        self.html_col = html_col
+        self.out_col = out_col
+        self.article_re = re.compile(
+            r"<article>(.*?)</article>", re.DOTALL
+        )
+        self.tag_re = re.compile(r"<[^>]+>")
+
+    def extract_one(self, data: bytes | None) -> str:
+        if data is None:
+            return ""
+        doc = decode_bytes(data)
+        m = self.article_re.search(doc)
+        body = m.group(1) if m else self.tag_re.sub(" ", doc)
+        return html_mod.unescape(body)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values = batch.column(self.html_col).to_pylist()
+        out = pa.array([self.extract_one(v) for v in values], pa.string())
+        if self.out_col in batch.column_names:
+            batch = batch.drop_columns([self.out_col])
+        return batch.append_column(self.out_col, out)
+
+
+def extract_dataset(pages, html_col: str = "html",
+                    out_col: str = "text_extracted",
+                    concurrency: int = 4, batch_size: int = 1024):
+    """pages -> + text_extracted (actor pool; setup once per actor)."""
+    return pages.map_batches(
+        ExtractText,
+        fn_constructor_kwargs={"html_col": html_col, "out_col": out_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,263 @@
+"""The core record-linkage operator: block-bucket similarity join.
+
+Re-expresses the reference's in-memory bucket loop
+(addresskit/match.py:167-231) as a Ray Data co-shuffle: tag side ->
+union -> ``groupby(block_key[, salt]).map_groups(score_block)``. Within
+a group the scorer is the reference pair kernel chain: stopword-gated
+candidate pruning (match.py:81-84,198-199) -> text scorer (registry,
+:109-115) -> digit overlap + optional haversine geo (confidence.py) ->
+``combine_scores`` renormalized weights -> threshold -> stable per-left
+top-k (score desc, right_id asc tiebreak; the reference's Python sort is
+insertion-order-stable, which is not parallel-safe — we pin the
+tiebreak for determinism under any partitioning).
+
+Skew: blocks larger than ``cfg.salt_over`` rows are salted — left rows
+get ``salt = fnv(id) % num_salts``, right rows are replicated once per
+salt value, so every (left, right) pair still meets in exactly one
+salted group (exact pair coverage, no superset).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from .blocking import add_block_keys
+from .config import MatchConfig
+from .scoring import (
+    combine_scores,
+    digits_score,
+    extract_numbers,
+    geo_score_km,
+    haversine_km,
+    tokenize_without_stops,
+)
+from .textkernels import get_scorer
+
+
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in str(s).encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+_SIDE_COLS = ["_id", "_text", "_lat", "_lon", "block_key", "_side", "_salt"]
+
+
+def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
+                  text_col: str, hot_keys: set[str] | None):
+    """Project to the unified side schema, add block key + salt.
+    Right-side rows in hot blocks are replicated per salt value."""
+    has_geo = {"lat", "lon"}.issubset(set(ds.schema().names))
+    num_salts = cfg.num_salts
+    hot = hot_keys or set()
+
+    ds = add_block_keys(ds, text_col, cfg.block_by, allow_single_bucket=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(id_col).cast(pa.string())
+        texts = batch.column(text_col).cast(pa.string())
+        keys = batch.column("block_key")
+        if has_geo:
+            lats = batch.column("lat").cast(pa.float64())
+            lons = batch.column("lon").cast(pa.float64())
+        else:
+            lats = pa.nulls(n, pa.float64())
+            lons = pa.nulls(n, pa.float64())
+        base = pa.table(
+            {
+                "_id": ids,
+                "_text": texts,
+                "_lat": lats,
+                "_lon": lons,
+                "block_key": keys,
+                "_side": pa.array([side] * n, pa.int8()),
+            }
+        )
+        if not hot:
+            return base.append_column("_salt", pa.array([0] * n, pa.int32()))
+        key_list = keys.to_pylist()
+        if side == 0:
+            salts = [
+                _fnv64(i) % num_salts if k in hot else 0
+                for i, k in zip(ids.to_pylist(), key_list)
+            ]
+            return base.append_column("_salt", pa.array(salts, pa.int32()))
+        # right side: replicate hot-block rows across all salts
+        idx: list[int] = []
+        salts = []
+        for row, k in enumerate(key_list):
+            if k in hot:
+                for s in range(num_salts):
+                    idx.append(row)
+                    salts.append(s)
+            else:
+                idx.append(row)
+                salts.append(0)
+        rep = base.take(pa.array(idx, pa.int64()))
+        return rep.append_column("_salt", pa.array(salts, pa.int32()))
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _empty_edges() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "left_id": pd.Series([], dtype="object"),
+            "right_id": pd.Series([], dtype="object"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def _make_block_scorer(cfg: MatchConfig):
+    scorer = get_scorer(cfg.scorer)
+    stops = set(cfg.semantic_stopwords)
+    thr = cfg.threshold
+    topk = cfg.topk
+    w_text, w_digits, w_geo = cfg.w_text, cfg.w_digits, cfg.w_geo
+    max_km = cfg.geo_max_km
+    max_pairs = cfg.max_block_pairs
+
+    def score_block(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["_side"] == 0]
+        right = group[group["_side"] == 1]
+        if left.empty or right.empty:
+            return _empty_edges()
+        if len(left) * len(right) > max_pairs:
+            # explicit skew guard: refuse silent quadratic blowup
+            raise ValueError(
+                f"block '{group['block_key'].iloc[0]}' has "
+                f"{len(left)}x{len(right)} pairs > max_block_pairs="
+                f"{max_pairs}; raise salt_over/num_salts or tighten "
+                f"the blocking key"
+            )
+        r_pre = [
+            (
+                rid,
+                rtxt,
+                tokenize_without_stops(rtxt, stops),
+                extract_numbers(rtxt),
+                rlat,
+                rlon,
+            )
+            for rid, rtxt, rlat, rlon in zip(
+                right["_id"], right["_text"], right["_lat"], right["_lon"]
+            )
+        ]
+        out_l: list[str] = []
+        out_r: list[str] = []
+        out_s: list[float] = []
+        for lid, ltxt, llat, llon in zip(
+            left["_id"], left["_text"], left["_lat"], left["_lon"]
+        ):
+            ltok = tokenize_without_stops(ltxt, stops)
+            lnums = extract_numbers(ltxt)
+            lgeo = pd.notna(llat) and pd.notna(llon)
+            best: list[tuple[float, str]] = []
+            for rid, rtxt, rtok, rnums, rlat, rlon in r_pre:
+                if stops and not (ltok & rtok):
+                    continue
+                text_s = float(scorer(ltxt, rtxt))
+                if lnums and rnums:
+                    d_s = 100.0 if (lnums & rnums) else 0.0
+                else:
+                    d_s = 0.0
+                g_s = None
+                if lgeo and pd.notna(rlat) and pd.notna(rlon):
+                    g_s = geo_score_km(
+                        haversine_km(llat, llon, rlat, rlon), max_km=max_km
+                    )
+                conf = combine_scores(
+                    text_s, d_s, g_s,
+                    w_text=w_text, w_digits=w_digits, w_geo=w_geo,
+                )
+                if conf >= thr:
+                    best.append((conf, rid))
+            if not best:
+                continue
+            best.sort(key=lambda x: (-x[0], x[1]))
+            for conf, rid in best[:topk]:
+                out_l.append(lid)
+                out_r.append(rid)
+                out_s.append(round(conf, 2))
+        return pd.DataFrame(
+            {"left_id": out_l, "right_id": out_r, "score": out_s}
+        )
+
+    return score_block
+
+
+def find_hot_blocks(ds, text_col: str, cfg: MatchConfig) -> set[str]:
+    """Block keys whose row count exceeds cfg.salt_over (small result,
+    collected to the driver and broadcast into the salting stage)."""
+    from .blocking import block_size_histogram
+
+    keyed = add_block_keys(ds, text_col, cfg.block_by,
+                           allow_single_bucket=True)
+    hist = block_size_histogram(keyed)
+    hot: set[str] = set()
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        keys = b.column("block_key").to_pylist()
+        counts = b.column("block_rows").to_pylist()
+        hot.update(k for k, c in zip(keys, counts) if c > cfg.salt_over)
+    return hot
+
+
+def match_datasets(left, right, cfg: MatchConfig | None = None,
+                   left_text_col: str | None = None,
+                   right_text_col: str | None = None,
+                   hot_keys: set[str] | None = None,
+                   num_partitions: int | None = None):
+    """Blocked fuzzy match of two Datasets -> edges Dataset
+    (left_id, right_id, score). The Ray-native reimplementation of
+    ``match_addresses`` fuzzy mode (addresskit/match.py:167-231)."""
+    cfg = cfg or MatchConfig()
+    lt = left_text_col or cfg.text_col
+    rt = right_text_col or cfg.text_col
+
+    if cfg.method == "index":
+        from .joins import positional_join
+
+        return positional_join(left, right, cfg.left_id, cfg.right_id)
+
+    if hot_keys is None:
+        hot_keys = set()
+
+    lp = _prepare_side(left, cfg, 0, cfg.left_id, lt, hot_keys)
+    rp = _prepare_side(right, cfg, 1, cfg.right_id, rt, hot_keys)
+    both = lp.union(rp)
+
+    edges = both.groupby(["block_key", "_salt"]).map_groups(
+        _make_block_scorer(cfg), batch_format="pandas"
+    )
+    if cfg.keep_best_per_right:
+        edges = keep_best_per_right(edges)
+    return edges
+
+
+def keep_best_per_right(edges):
+    """Best single left per right id — documented-but-unimplemented in
+    the reference (README-ARCHITECTURE.md:85,213; K2 in SURVEY §2.6).
+    Tiebreak (score desc, left_id asc) for determinism."""
+
+    def best(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "left_id"],
+                              ascending=[False, True])
+        return g.head(1)
+
+    return edges.groupby("right_id").map_groups(best, batch_format="pandas")
+
+
+def unmatched(side_ds, edges, id_col: str, edge_col: str, text_col: str):
+    """Anti-join: rows of ``side_ds`` whose id never appears in
+    ``edges[edge_col]`` (reference unmatched_left/right,
+    match.py:233-260). Edge ids are assumed driver-collectable (they
+    shrink with the match rate); the all-shuffle variant is
+    joins.shuffle_anti_join."""
+    from .joins import broadcast_anti_join
+
+    un = broadcast_anti_join(side_ds, edges, key=id_col, keys_key=edge_col)
+    return un.select_columns([id_col, text_col])

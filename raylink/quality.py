@@ -1,0 +1,141 @@
+"""Quality flags, row filters and exact dedup as vectorized stages.
+
+Mirrors the reference's quality gate (scripts/clean_and_parse.py:203-216
+``add_quality_flags``: char_len / word_len / digit_count / punct_count /
+is_suspicious) and its row filters (:244-247 — null/empty address,
+punctuation-only, len <= 5), re-expressed over Arrow batches with
+pyarrow.compute kernels — no Python loop in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ONLY_PUNCT_RE = r"^[\s\W_]+$"
+
+
+def add_quality_flags(ds, text_col: str, batch_size: int = 16384):
+    """char_len, word_len, digit_count, punct_count, is_suspicious
+    (clean_and_parse.py:203-214). is_suspicious:
+    char_len<10 | word_len<2 | char_len>180 | digit_count==0."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).cast(pa.string())
+        s = pc.fill_null(s, "")
+        char_len = pc.utf8_length(s)
+        word_len = pc.list_value_length(pc.utf8_split_whitespace(s))
+        # split_whitespace counts an empty string as one element
+        word_len = pc.if_else(pc.equal(char_len, 0),
+                              pa.scalar(0, pa.int32()),
+                              pc.cast(word_len, pa.int32()))
+        digit_count = pc.count_substring_regex(s, r"\d")
+        punct_count = pc.count_substring_regex(s, r"[^\w\s]")
+        suspicious = pc.or_(
+            pc.or_(pc.less(char_len, 10), pc.less(word_len, 2)),
+            pc.or_(pc.greater(char_len, 180), pc.equal(digit_count, 0)),
+        )
+        for name, arr in (
+            ("char_len", pc.cast(char_len, pa.int32())),
+            ("word_len", word_len),
+            ("digit_count", pc.cast(digit_count, pa.int32())),
+            ("punct_count", pc.cast(punct_count, pa.int32())),
+            ("is_suspicious", suspicious),
+        ):
+            if name in batch.column_names:
+                batch = batch.drop_columns([name])
+            batch = batch.append_column(name, arr)
+        return batch
+
+    return ds.map_batches(flags, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def filter_valid_text(ds, text_col: str, min_len: int = 5,
+                      batch_size: int = 16384):
+    """Drop null/empty/punctuation-only/too-short rows
+    (clean_and_parse.py:244-247: notna, strip != "", not only-punct,
+    len > 5)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col)
+        stripped = pc.utf8_trim_whitespace(pc.fill_null(
+            pc.cast(s, pa.string()), ""))
+        mask = pc.and_(
+            pc.and_(
+                pc.is_valid(s),
+                pc.greater(pc.utf8_length(stripped), 0),
+            ),
+            pc.and_(
+                pc.invert(pc.match_substring_regex(stripped, ONLY_PUNCT_RE)),
+                pc.greater(
+                    pc.utf8_length(pc.cast(s, pa.string())), min_len
+                ),
+            ),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def scrub_newlines(ds, cols: list[str] | None = None,
+                   batch_size: int = 16384):
+    """Global string scrub: \\r?\\n -> ' ' + trim on string columns
+    (clean_and_parse.py:235-236)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        names = cols or [
+            f.name for f in batch.schema if pa.types.is_string(f.type)
+        ]
+        for name in names:
+            cleaned = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(
+                    pc.fill_null(batch.column(name), ""), r"\r?\n", " "
+                )
+            )
+            idx = batch.column_names.index(name)
+            batch = batch.set_column(idx, name, cleaned)
+        return batch
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def dedup_exact(ds, key_col: str, order_col: str):
+    """Keyed dedup keeping the deterministic first row (min order_col) —
+    reference drop_duplicates(subset=[...]) (clean_and_parse.py:264-273)
+    with a defined winner instead of file order. Shuffle on key_col."""
+    import pandas as pd
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col).head(1)
+
+    return ds.groupby(key_col).map_groups(first, batch_format="pandas")
+
+
+def flag_duplicates(ds, key_col: str, out_col: str = "is_duplicate",
+                    num_partitions: int = 16):
+    """Mark (not drop) rows whose key occurs more than once —
+    ``duplicated(keep=False)`` (clean_and_parse.py:215, DeepEDA.py:126-137).
+    Counts per key via partial aggregation, then hash-joined back."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col]).group_by(key_col).aggregate(
+            [(key_col, "count")])
+        return t.rename_columns([key_col, "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="_key_count"))
+    )
+    joined = ds.join(counts, join_type="inner",
+                     num_partitions=num_partitions, on=(key_col,))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        dup = pc.greater(batch.column("_key_count"), 1)
+        return batch.drop_columns(["_key_count"]).append_column(out_col, dup)
+
+    return joined.map_batches(mark, batch_format="pyarrow")

@@ -1,0 +1,189 @@
+"""Unit tests for the pure kernels: similarity scorers (vs brute-force
+DP and vs DuckDB's implementations), TR casefolding, normalizer step
+order, parser golden vectors, blocking DSL, confidence combination."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from raylink import textkernels as tk
+from raylink.blocking import alnum_lower, first_digits, make_block_key, phonetic_token
+from raylink.normalize import normalize_text
+from raylink.parse import clean_text, normalize_and_parse
+from raylink.scoring import (
+    combine_scores,
+    digits_score,
+    extract_numbers,
+    geo_score_km,
+    haversine_km,
+)
+
+
+def _lcs_brute(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[-1][-1]
+
+
+def _lev_brute(a, b):
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[-1]
+
+
+def test_bitparallel_vs_bruteforce():
+    rng = random.Random(7)
+    alpha = "abcdeğüş 0123"
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 90)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 90)))
+        assert tk.lcs_length(a, b) == _lcs_brute(a, b)
+        assert tk.levenshtein(a, b) == _lev_brute(a, b)
+
+
+def test_levenshtein_and_jw_match_duckdb():
+    con = duckdb.connect()
+    rng = random.Random(11)
+    alpha = "abcdef 123"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 25)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 25)))
+        lev, jw = con.execute(
+            "SELECT levenshtein(?, ?), jaro_winkler_similarity(?, ?)",
+            [a, b, a, b],
+        ).fetchone()
+        assert tk.levenshtein(a, b) == lev
+        assert tk.jaro_winkler_similarity(a, b) == pytest.approx(jw, abs=1e-12)
+
+
+def test_ratio_identities():
+    assert tk.ratio("", "") == 100.0
+    assert tk.ratio("abc", "abc") == 100.0
+    assert tk.ratio("abc", "") == 0.0
+    assert tk.token_set_ratio("a b c", "c b a") == 100.0
+    # intersection non-empty + one diff empty -> 100 (rapidfuzz rule)
+    assert tk.token_set_ratio("a b", "a b extra") == 100.0
+    assert tk.partial_ratio("abc", "xxabcxx") == 100.0
+
+
+def test_tr_safe_lower():
+    # reference addresskit/normalize.py:40-46 behavior
+    assert tk.tr_safe_lower("İSTANBUL") == "istanbul"
+    assert tk.tr_safe_lower("IĞDIR") == "iğdir"
+    assert tk.tr_safe_lower("") == ""
+    assert tk.fold_tr_diacritics("çğışöüÇĞİÖŞÜ") == "cgisoucgiosu"
+
+
+def test_unmojibake_roundtrip():
+    s = "muğla çınarlı"
+    broken = s.encode("utf-8").decode("latin1")
+    assert tk.maybe_unmojibake(broken) == s
+    assert tk.maybe_unmojibake("clean text") == "clean text"
+
+
+def test_normalize_text_pipeline():
+    # abbreviation expansion + punctuation strip + collapse
+    assert (
+        normalize_text("Akasya MAH., Güven CAD. No: 12/3")
+        == "akasya mahalle guven cadde no 12 3"
+    )
+    # mojibake repaired then normalized
+    broken = "Akasya Mahallesi Çınar".encode("utf-8").decode("latin1")
+    assert normalize_text(broken) == "akasya mahalle cinar"
+    # stopword removal honors config
+    cfg = {"lowercase": True, "stopwords": ["ve"], "strip_extra_spaces": True}
+    assert normalize_text("a ve b", cfg) == "a b"
+    # broken regex silently skipped (reference normalize.py:104-110)
+    cfg = {"regex": [{"pattern": "([", "repl": "x"}], "lowercase": True}
+    assert normalize_text("ABC", cfg) == "abc"
+
+
+def test_parser_golden_vectors():
+    # no 12/3 split (normalize_and_parse.py:108-114)
+    _, p = normalize_and_parse("Akasya mah. Güven cad. no 12/3 kat 2 Bodrum/Muğla")
+    assert p["no"] == "12"
+    assert p["daire"] == "3"
+    assert p["kat"] == "2"
+    assert p["mahalle"] == "akasya"
+    assert p["cadde"] == "güven"
+    assert p["il"] == "muğla"
+    assert p["ilce"] == "bodrum"
+    # numeric street priority (normalize_and_parse.py:131-136)
+    _, p = normalize_and_parse("yali mah 864.sokak no:5")
+    assert p["sokak"] == "864"
+    assert p["no"] == "5"
+    # alphabetic daire dropped (postprocess.py:54-56)
+    _, p = normalize_and_parse("x mahalle y sokak no 3 daire oria")
+    assert "daire" not in p
+    # building trigger with left context (postprocess.py:86-101)
+    _, p = normalize_and_parse("akasya mahalle defne apartman no 7 istanbul")
+    assert "apartman" in p.get("bina_adi", "")
+    # province from trailing tokens (postprocess.py:108-122)
+    _, p = normalize_and_parse("guzel mahalle deniz sokak no 4 fethiye mugla")
+    assert p["il"] == "mugla"
+    assert p["ilce"] == "fethiye"
+    assert 0.0 <= p["_confidence"] <= 1.0
+
+
+def test_clean_text_repairs():
+    assert clean_text("No:15") == "no 15"
+    assert clean_text("864.sokak") == "864 sokak"
+    assert clean_text("d 1") == "daire 1"
+    assert clean_text("İstanbul") == "istanbul"
+
+
+def test_blocking_dsl():
+    assert alnum_lower("Ak-as YA12!") == "akasya12"
+    assert first_digits("no 12 d 3") == "12"
+    assert first_digits("abc") == ""
+    row = {"t": "akasya mahalle no 12"}
+    assert make_block_key(row, "t", "prefix8") == "akasyama"
+    assert make_block_key(row, "t", "digits+prefix6") == "12|akasya"
+    assert (
+        make_block_key({"il": "Muğla", "ilce": "Bodrum", "t": "x"}, "t",
+                       "province+district")
+        == "muğla|bodrum"
+    )
+    # empty mode = single global bucket, allowed only when explicit
+    assert make_block_key(row, "t", "") == ""
+    with pytest.raises(ValueError):
+        make_block_key(row, "t", "", allow_single_bucket=False)
+    assert phonetic_token("akasya mahalle") == "aksy"
+
+
+def test_confidence_kernels():
+    assert extract_numbers("no 12 d 3") == {"12", "3"}
+    assert digits_score("no 12", "blok 12") == 100.0
+    assert digits_score("no 12", "no 13") == 0.0
+    assert digits_score("abc", "no 13") == 0.0
+    # haversine: Istanbul -> Ankara ~ 349-352 km
+    d = haversine_km(41.0082, 28.9784, 39.9334, 32.8597)
+    assert 340 < d < 360
+    assert geo_score_km(0.0) == 100.0
+    assert geo_score_km(1.5) == 0.0
+    assert geo_score_km(0.75) == pytest.approx(50.0)
+    assert geo_score_km(None) == 0.0
+    # weight renormalization over PRESENT components (confidence.py:40-60)
+    assert combine_scores(80.0) == 80.0
+    assert combine_scores(80.0, 100.0, None, 0.8, 0.2, 0.2) == pytest.approx(
+        round((80 * 0.8 + 100 * 0.2) / 1.0, 2))
+    # absent geo: text/digits weights rescale to .8/.15 of .95
+    got = combine_scores(90.0, 100.0, None, 0.8, 0.15, 0.05)
+    want = round(90.0 * (0.8 / 0.95) + 100.0 * (0.15 / 0.95), 2)
+    assert got == want
+    got = combine_scores(90.0, 100.0, 50.0, 0.8, 0.15, 0.05)
+    assert got == round(90 * 0.8 + 100 * 0.15 + 50 * 0.05, 2)

@@ -1,0 +1,162 @@
+"""End-to-end linkage tests on the deterministic pages fixture:
+
+1. byte-identical HTML->text extraction per url (the input_hint
+   per-row invariant),
+2. edge parity between the Ray pipeline and the single-process oracle
+   mirroring the reference loop (pairwise F1 == 1.0 at the same
+   blocking key),
+3. pairwise F1 >= 0.99 against the generator's entity gold labels,
+4. clusters == union-find transitive closure of the edges,
+5. invariance under partitioning and under salting.
+"""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from oracle import oracle_match
+from raylink.cluster import connected_components, connected_components_local
+from raylink.config import MatchConfig
+from raylink.extract import extract_dataset
+from raylink.fixtures import build_labeled_pairs, build_pages
+from raylink.match import match_datasets
+from raylink.pipeline import prepare_pages, run_linkage, split_left_right
+
+N_ENTITIES = 150
+
+FIXTURE_CFG = MatchConfig(threshold=85.0, topk=3, scorer="token_set_ratio",
+                          block_by="digits+prefix6",
+                          w_text=0.8, w_digits=0.15, w_geo=0.05,
+                          left_id="url", right_id="url")
+
+
+@pytest.fixture(scope="module")
+def fixture_data():
+    pages, truth = build_pages(N_ENTITIES, seed=42)
+    labeled = build_labeled_pairs(pages, truth)
+    return pages, truth, labeled
+
+
+@pytest.fixture(scope="module")
+def edges_result(fixture_data):
+    pages, _, _ = fixture_data
+    ds = rd.from_arrow(pages)
+    out = run_linkage(ds, match_cfg=FIXTURE_CFG, with_clusters=False,
+                      with_unmatched=False)
+    edges = out["edges"].to_pandas()
+    prepared = out["prepared"].to_pandas()
+    return edges, prepared
+
+
+def test_extract_byte_identical(fixture_data):
+    pages, _, _ = fixture_data
+    ds = extract_dataset(rd.from_arrow(pages), concurrency=2)
+    df = ds.to_pandas()
+    assert (df["text_extracted"] == df["text"]).all()
+
+
+def test_edges_match_reference_oracle(edges_result, fixture_data):
+    pages, _, _ = fixture_data
+    edges, prepared = edges_result
+    rows = [
+        {"id": u, "text": t}
+        for u, t in zip(prepared["url"], prepared["addr_norm"])
+    ]
+    left = [r for r in rows if r["id"].startswith("https://siteL")]
+    right = [r for r in rows if r["id"].startswith("https://siteR")]
+    want = {(l, r): s for l, r, s in oracle_match(left, right, FIXTURE_CFG)}
+    got = {
+        (l, r): s
+        for l, r, s in zip(edges["left_id"], edges["right_id"],
+                           edges["score"])
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_pairwise_f1_vs_gold(edges_result, fixture_data):
+    _, _, labeled = fixture_data
+    edges, _ = edges_result
+    predicted = set(zip(edges["left_id"], edges["right_id"]))
+    tp = fp = fn = 0
+    for l, r, m in zip(
+        labeled["left_id"].to_pylist(),
+        labeled["right_id"].to_pylist(),
+        labeled["is_match"].to_pylist(),
+    ):
+        hit = (l, r) in predicted
+        if m and hit:
+            tp += 1
+        elif m and not hit:
+            fn += 1
+        elif not m and hit:
+            fp += 1
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, (tp, fp, fn)
+
+
+def test_clusters_are_transitive_closure(edges_result):
+    edges, _ = edges_result
+    pairs = list(zip(edges["left_id"], edges["right_id"]))
+    want = connected_components_local(pairs)
+    edge_tbl = pa.table(
+        {
+            "left_id": pa.array(edges["left_id"], pa.string()),
+            "right_id": pa.array(edges["right_id"], pa.string()),
+        }
+    )
+    got_df = connected_components(rd.from_arrow(edge_tbl)).to_pandas()
+    got = dict(zip(got_df["id"], got_df["cluster_id"]))
+    assert got == want
+
+
+def test_partitioning_and_salting_invariance(fixture_data):
+    pages, _, _ = fixture_data
+    ds = rd.from_arrow(pages)
+    prepared = prepare_pages(ds, extract_concurrency=2)
+    left, right = split_left_right(prepared)
+
+    def edge_set(lds, rds, hot):
+        e = match_datasets(
+            lds, rds, FIXTURE_CFG,
+            left_text_col="addr_norm", right_text_col="addr_norm",
+            hot_keys=hot,
+        ).to_pandas()
+        return set(zip(e["left_id"], e["right_id"], e["score"]))
+
+    base = edge_set(left, right, set())
+    repart = edge_set(left.repartition(7), right.repartition(3), set())
+    assert base == repart
+
+    # salt EVERY block: pair coverage must be exactly preserved
+    all_keys = set()
+    from raylink.blocking import make_block_key
+    from raylink.normalize import normalize_text
+
+    for t in pages.column("text").to_pylist():
+        all_keys.add(
+            make_block_key({"t": normalize_text(t)}, "t",
+                           FIXTURE_CFG.block_by))
+    salted = edge_set(left, right, all_keys)
+    assert base == salted
+
+
+def test_unmatched_antijoin(fixture_data):
+    pages, truth, _ = fixture_data
+    ds = rd.from_arrow(pages)
+    out = run_linkage(ds, match_cfg=FIXTURE_CFG, with_clusters=False,
+                      with_unmatched=True)
+    edges = out["edges"].to_pandas()
+    un_left = out["unmatched_left"].to_pandas()
+    matched_left = set(edges["left_id"])
+    un_urls = set(un_left["url"]) if "url" in un_left.columns else set()
+    assert un_urls.isdisjoint(matched_left)
+    prepared_left = {
+        u for u in out["prepared"].to_pandas()["url"]
+        if u.startswith("https://siteL")
+    }
+    assert un_urls | matched_left == prepared_left
