@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship linkage pipeline on a deterministic pages
+fixture sized for sf0.001. ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 over the testdata
+tables (plus the pages fixture for linkage-specific ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry. Column names match exactly between the two.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,997 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from raylink.blocking import add_block_keys, block_size_histogram
+from raylink.cluster import connected_components
+from raylink.config import MatchConfig
+from raylink.dedup import (
+    dedup_exact_text,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+from raylink.eda import (
+    missing_report,
+    token_frequencies,
+    value_distribution,
+)
+from raylink.extract import extract_dataset
+from raylink.fixtures import ensure_fixture_dir, entities_for_sf_dir
+from raylink.joins import hash_join, shuffle_anti_join
+from raylink.normalize import normalize_dataset
+from raylink.parse import flatten_parts, parse_dataset
+from raylink.pipeline import run_linkage
+from raylink.quality import (
+    add_quality_flags,
+    dedup_exact,
+    filter_valid_text,
+    flag_duplicates,
+)
+from raylink.scoring import haversine_km_vec
+from raylink.simsearch import knn_bruteforce
+from raylink.textstats import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    add_lang_id,
+    add_quality_score,
+    add_token_counts,
+)
+
+FIXTURE_MATCH_CFG = MatchConfig(
+    threshold=85.0, topk=3, scorer="token_set_ratio",
+    block_by="digits+prefix6", w_text=0.8, w_digits=0.15, w_geo=0.05,
+    left_id="url", right_id="url",
+)
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _pages_fixture(sf_dir: str) -> str:
+    return ensure_fixture_dir(entities_for_sf_dir(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship linkage pipeline at sf0.001 scale; returns the edges
+    Dataset (left_id, right_id, score)."""
+    fd = _pages_fixture("/root/testdata/sf0.001")
+    pages = rd.read_parquet(f"{fd}/pages.parquet")
+    out = run_linkage(pages, match_cfg=FIXTURE_MATCH_CFG,
+                      with_clusters=False, with_unmatched=False,
+                      salt_hot_blocks=False)
+    return out["edges"]
+
+
+# ---------------------------------------------------------------------------
+# queries — TPC-H-ish relational core (sources, maps, filters, joins,
+# aggregates, sorts, set ops)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """G-series grouped aggregation with exact integer sums (Q1-like).
+
+    Doubles are integerized (cents) before summing so the result is
+    bit-exact under any summation order (SURVEY §2.5 G1/G5)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                          pa.int64())
+        disc_c = pc.cast(
+            pc.round(pc.multiply(pc.subtract(1.0, t["l_discount"]), 100.0)),
+            pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_cents": price_c,
+                "disc_price_e4": pc.multiply(price_c, disc_c),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Two hash equi-joins + grouped aggregate (J5 + G1)."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                  num_partitions=8)
+    j = hash_join(j, nation, on="c_nationkey", right_on="n_nationkey",
+                  num_partitions=8)
+    return (
+        j.groupby("n_name")
+        .aggregate(
+            Sum("price_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Shuffle anti-join (J4): customers with no high-value order
+    (threshold keeps the result non-empty at every sf)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def high(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 400000.0))
+        return pa.table({"c_custkey": t["o_custkey"]})
+
+    return shuffle_anti_join(
+        cust, orders.map_batches(high, batch_format="pyarrow"),
+        on="c_custkey", num_partitions=8)
+
+
+def q_suppliers_with_lineitems(sf_dir: str):
+    """Broadcast semi-join (J6-style small-side lookup)."""
+    from raylink.joins import broadcast_semi_join
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    keys = _t(sf_dir, "lineitem", ["l_suppkey"]).unique("l_suppkey")
+    return broadcast_semi_join(supp, keys, key="s_suppkey")
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (K3/K4) with deterministic tiebreak."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(cents, batch_format="pyarrow")
+        .sort(["price_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_filter_project(sf_dir: str):
+    """Row filter + computed projection (M10/M12): high-value lines."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def f(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                          pa.int64())
+        disc_c = pc.cast(
+            pc.round(pc.multiply(pc.subtract(1.0, t["l_discount"]), 100.0)),
+            pa.int64())
+        rev = pc.multiply(price_c, disc_c)
+        out = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue_e4": rev,
+            }
+        )
+        return out.filter(pc.greater(out["revenue_e4"], 500_000_000))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_events_tumbling_window(sf_dir: str):
+    """Tumbling 1-hour event-time windows per user (streaming-shaped op
+    as groupby over epoch buckets; value summed at 1e-3 precision)."""
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch_s, 3600), 3600)
+        val_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"], "window_start": win, "value_milli": val_m}
+        )
+
+    return (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+        )
+    )
+
+
+def q_event_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user via sorted map_groups —
+    the per-key ordered-log pattern for stream-shaped data."""
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        n_sessions = int((gap > 1800).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_distinct_event_types(sf_dir: str):
+    ev = _t(sf_dir, "events", ["event_type"])
+    return ev.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q_union_sample(sf_dir: str):
+    """Union (D6) of two filtered views + deterministic systematic
+    sample (K5 without RNG): doc_id % 10 == 0."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(lang):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["lang"], lang))
+        return f
+
+    en = docs.map_batches(pick("en"), batch_format="pyarrow")
+    de = docs.map_batches(pick("de"), batch_format="pyarrow")
+
+    def sample(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.subtract(t["doc_id"],
+                                 pc.multiply(pc.divide(t["doc_id"], 10), 10)),
+                     0))
+
+    return en.union(de).map_batches(sample, batch_format="pyarrow")
+
+
+def q_missing_report(sf_dir: str):
+    """Per-column null counts (G4) on orders."""
+    return missing_report(_t(sf_dir, "orders"))
+
+
+def q_length_stats_by_lang(sf_dir: str):
+    """Grouped numeric profile (G5) with exact int aggregates."""
+    docs = _t(sf_dir, "documents", ["lang", "n_chars"])
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def q_haversine_suppliers(sf_dir: str):
+    """Vectorized haversine + linear geo decay (F3/F4) over
+    deterministically derived coordinates."""
+    supp = _t(sf_dir, "supplier", ["s_suppkey"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype("float64")
+        lat = 36.0 + (k * 7.0) % 6.0
+        lon = 26.0 + (k * 13.0) % 19.0
+        d = haversine_km_vec(lat, lon, 39.9334, 32.8597)
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+                "dist_ankara_km": pa.array(d),
+            }
+        )
+
+    return supp.map_batches(coords, batch_format="pyarrow")
+
+
+def q_combine_scores(sf_dir: str):
+    """Weighted confidence combination (F5) vectorized over derived
+    component scores; weight renormalization branch exercised via the
+    has_geo flag (absent geo -> weights rescale)."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype("float64")
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype("float64")
+        text = (k * 37.0) % 101.0
+        digits = np.where(size % 2 == 0, 100.0, 0.0)
+        has_geo = (size % 3) == 0
+        geo = (k * 11.0) % 101.0
+        with_geo = (text * 0.8 + digits * 0.15 + geo * 0.05)
+        without = (text * (0.8 / 0.95) + digits * (0.15 / 0.95))
+        conf = np.where(has_geo, with_geo, without)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "confidence_e6": pa.array(
+                    np.floor(conf * 1e6).astype("int64")),
+            }
+        )
+
+    return part.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# documents: normalize / quality / dedup / blocking / text analysis
+# ---------------------------------------------------------------------------
+
+_DOC_NORM_CFG = {
+    "fix_mojibake": False,
+    "lowercase": True,
+    "fold_diacritics": False,
+    "regex": [],
+    "replace": {},
+    "abbreviations": {},
+    "stopwords": [],
+    "strip_punctuation": True,
+    "strip_extra_spaces": True,
+}
+
+
+def q_doc_normalize(sf_dir: str):
+    """Canonical normalizer (M4) restricted to the SQL-expressible
+    subset (lowercase + punctuation strip + space collapse)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_dataset(docs, "text", "norm_text", _DOC_NORM_CFG)
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+def q_doc_quality_flags(sf_dir: str):
+    """M11 quality flags + suspicious rule on documents."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = add_quality_flags(docs, "text")
+    return out.select_columns(
+        ["doc_id", "char_len", "word_len", "digit_count", "punct_count",
+         "is_suspicious"])
+
+
+def q_doc_filter_valid(sf_dir: str):
+    """M10 validity filter (non-empty, not punct-only, len > 5)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return filter_valid_text(docs, "text").select_columns(["doc_id"])
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    """D1/D2 exact dedup keeping min doc_id per identical text."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_exact_text(docs, "text", "doc_id").select_columns(
+        ["doc_id", "text"])
+
+
+def q_doc_duplicate_flags(sf_dir: str):
+    """D3 duplicate marking (keep rows, flag key count > 1)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return flag_duplicates(docs, "text").select_columns(
+        ["doc_id", "is_duplicate"])
+
+
+def q_doc_block_keys(sf_dir: str):
+    """F9 blocking-key DSL (digits+prefix6) over documents."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return add_block_keys(docs, "text", "digits+prefix6",
+                          allow_single_bucket=True).select_columns(
+        ["doc_id", "block_key"])
+
+
+def q_block_histogram(sf_dir: str):
+    """G1 block-size histogram (skew diagnostics)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    keyed = add_block_keys(docs, "text", "prefix4",
+                           allow_single_bucket=True)
+    return block_size_histogram(keyed)
+
+
+def q_token_frequencies(sf_dir: str):
+    """G2 token frequency top-100 (count desc, token asc)."""
+    docs = _t(sf_dir, "documents", ["text"])
+    return (
+        token_frequencies(docs, "text")
+        .sort(["count", "token"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def q_lang_distribution(sf_dir: str):
+    """G3 value distribution of the lang column."""
+    return value_distribution(_t(sf_dir, "documents", ["lang"]), "lang")
+
+
+def q_doc_lang_id(sf_dir: str):
+    """Marker-token language-ID heuristic."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return add_lang_id(docs, "text").select_columns(["doc_id", "lang_pred"])
+
+
+def q_doc_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish token counting."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return add_token_counts(docs, "text").select_columns(
+        ["doc_id", "ws_tokens", "bpe_tokens"])
+
+
+def q_doc_quality_score(sf_dir: str):
+    """Composite quality score (integerized at 1e-6 for exactness)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    scored = add_quality_score(docs, "text")
+
+    def toint(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality_e6": pc.cast(
+                    pc.floor(pc.multiply(t["quality"], 1e6)), pa.int64()),
+            }
+        )
+
+    return scored.map_batches(toint, batch_format="pyarrow")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """D4 n-gram Jaccard near-dup over same-lang candidate pairs with
+    close lengths (|n_chars diff| <= 3); jaccard at 1e-6 precision."""
+    docs = _t(sf_dir, "documents",
+              ["doc_id", "text", "lang", "n_chars"]).materialize()
+    small = docs.to_pandas()
+
+    def pairs_for_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        li, ri, jac = [], [], []
+        arr = list(zip(g["doc_id"], g["text"], g["n_chars"]))
+        for i in range(len(arr)):
+            for j in range(i + 1, len(arr)):
+                if abs(int(arr[i][2]) - int(arr[j][2])) > 3:
+                    continue
+                v = ngram_jaccard(arr[i][1], arr[j][1], 3)
+                if v >= 0.15:
+                    li.append(int(arr[i][0]))
+                    ri.append(int(arr[j][0]))
+                    jac.append(int(np.floor(v * 1e6)))
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series(li, dtype="int64"),
+                "right_id": pd.Series(ri, dtype="int64"),
+                "jaccard_e6": pd.Series(jac, dtype="int64"),
+            }
+        )
+
+    return rd.from_pandas(small).groupby("lang").map_groups(
+        pairs_for_lang, batch_format="pandas")
+
+
+def q_cc_chain_clusters(sf_dir: str):
+    """J8 connected components with a SQL oracle. Deterministic chain
+    edges: within each (lang, n_chars//50) bucket, consecutive doc_ids
+    are linked — components are exactly the buckets with >= 2 docs,
+    and chains are long, exercising multiple hash-min rounds. The
+    cluster_id is zero-padded so string-min == numeric-min."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["n_chars"], 50)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "bucket": b})
+
+    def edges_from_groups(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(i) for i in g["doc_id"])
+        pads = [f"{i:08d}" for i in ids]
+        if len(ids) < 2:
+            return pd.DataFrame({
+                "left_id": pd.Series([], dtype="object"),
+                "right_id": pd.Series([], dtype="object"),
+            })
+        return pd.DataFrame(
+            {"left_id": pads[:-1], "right_id": pads[1:]})
+
+    edges = docs.map_batches(buckets, batch_format="pyarrow").groupby(
+        ["lang", "bucket"]).map_groups(
+        edges_from_groups, batch_format="pandas")
+    cc = connected_components(edges)
+
+    def toint(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["id"], pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return cc.map_batches(toint, batch_format="pyarrow")
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """ANN baseline: exact cosine top-5 neighbours for query vectors
+    vec_id 0..2 (self excluded); ranks only — deterministic."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in emb.take(3)), key=lambda r: r["vec_id"])
+    queries = [r["embedding"] for r in qrows]
+    res = knn_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+    # drop the self hit per query, keep ranks 1..4
+    rows = []
+    for qi, hits in enumerate(res):
+        rank = 0
+        for hid, _ in hits:
+            if int(hid) == qi:
+                continue
+            rank += 1
+            if rank > 4:
+                break
+            rows.append({"query_id": qi, "neighbor_id": int(hid),
+                         "rank": rank})
+    return pa.Table.from_pylist(rows)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates verified at Jaccard >= 0.85."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              jaccard_threshold=0.85)
+
+    def toint(t: pa.Table) -> pa.Table:
+        l = pc.cast(t["left_id"], pa.int64())
+        r = pc.cast(t["right_id"], pa.int64())
+        # ids were ordered lexicographically inside the LSH buckets;
+        # the oracle orders numerically -> normalize to (min, max)
+        return pa.table(
+            {
+                "left_id": pc.min_element_wise(l, r),
+                "right_id": pc.max_element_wise(l, r),
+                "jaccard_e6": pc.cast(
+                    pc.floor(pc.multiply(t["jaccard"], 1e6)), pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(toint, batch_format="pyarrow")
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3). Rows-only check."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# linkage pipeline over the pages fixture (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_pages_extract(sf_dir: str):
+    fd = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(f"{fd}/pages.parquet")
+    out = extract_dataset(pages, concurrency=2)
+    return out.select_columns(["url", "text_extracted"])
+
+
+def q_pages_parse(sf_dir: str):
+    fd = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(f"{fd}/pages.parquet",
+                            columns=["url", "text"])
+    parsed = parse_dataset(pages, "text")
+    flat = flatten_parts(parsed)
+    return flat.select_columns(
+        ["url", "addr_clean", "mahalle", "cadde", "sokak", "no", "daire",
+         "kat", "il", "ilce", "confidence"])
+
+
+def q_linkage_edges(sf_dir: str):
+    fd = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(f"{fd}/pages.parquet")
+    out = run_linkage(pages, match_cfg=FIXTURE_MATCH_CFG,
+                      with_clusters=False, with_unmatched=False,
+                      salt_hot_blocks=False)
+    return out["edges"]
+
+
+def q_linkage_clusters(sf_dir: str):
+    fd = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(f"{fd}/pages.parquet")
+    out = run_linkage(pages, match_cfg=FIXTURE_MATCH_CFG,
+                      with_clusters=True, with_unmatched=False,
+                      salt_hot_blocks=False)
+    return out["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "customers_without_orders": q_customers_without_orders,
+        "suppliers_with_lineitems": q_suppliers_with_lineitems,
+        "top_orders": q_top_orders,
+        "filter_project": q_filter_project,
+        "events_tumbling_window": q_events_tumbling_window,
+        "event_sessions": q_event_sessions,
+        "distinct_event_types": q_distinct_event_types,
+        "union_sample": q_union_sample,
+        "missing_report": q_missing_report,
+        "length_stats_by_lang": q_length_stats_by_lang,
+        "haversine_suppliers": q_haversine_suppliers,
+        "combine_scores": q_combine_scores,
+        "doc_normalize": q_doc_normalize,
+        "doc_quality_flags": q_doc_quality_flags,
+        "doc_filter_valid": q_doc_filter_valid,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_duplicate_flags": q_doc_duplicate_flags,
+        "doc_block_keys": q_doc_block_keys,
+        "block_histogram": q_block_histogram,
+        "token_frequencies": q_token_frequencies,
+        "lang_distribution": q_lang_distribution,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality_score": q_doc_quality_score,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cc_chain_clusters": q_cc_chain_clusters,
+        "knn_bruteforce": q_knn_bruteforce,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "pages_extract": q_pages_extract,
+        "pages_parse": q_pages_parse,
+        "linkage_edges": q_linkage_edges,
+        "linkage_clusters": q_linkage_clusters,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — names/columns match the Ray results exactly
+# ---------------------------------------------------------------------------
+
+_STOP_PAT = r"\b(?:" + "|".join(STOPWORDS_EN) + r")\b"
+
+
+def _lang_id_sql() -> str:
+    counts = ",\n      ".join(
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"t -> t IN ({', '.join(repr(m) for m in markers)}))) AS c_{lang}"
+        for lang, markers in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN c_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH counts AS (
+      SELECT doc_id,
+      {counts}
+      FROM documents
+    )
+    SELECT doc_id, {case} AS lang_pred FROM counts
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                AS sum_base_price_cents,
+              CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT)
+                AS sum_disc_price_e4,
+              COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+              CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+              COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "suppliers_with_lineitems": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "top_orders": """
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders
+            ORDER BY price_cents DESC, o_orderkey ASC LIMIT 10
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND((1-l_discount)*100) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            WHERE CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND((1-l_discount)*100) AS BIGINT) > 500000000
+        """,
+        "events_tumbling_window": """
+            SELECT user_id,
+              (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events GROUP BY user_id, window_start
+        """,
+        "event_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800*1000000 OR lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions
+            FROM ordered GROUP BY user_id
+        """,
+        "distinct_event_types": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type
+        """,
+        "union_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang IN ('en','de') AND doc_id % 10 = 0
+        """,
+        "missing_report": """
+            SELECT col AS "column",
+              CASE col
+                WHEN 'o_orderkey' THEN COUNT(*) - COUNT(o_orderkey)
+                WHEN 'o_custkey' THEN COUNT(*) - COUNT(o_custkey)
+                WHEN 'o_orderstatus' THEN COUNT(*) - COUNT(o_orderstatus)
+                WHEN 'o_totalprice' THEN COUNT(*) - COUNT(o_totalprice)
+                WHEN 'o_orderdate' THEN COUNT(*) - COUNT(o_orderdate)
+                WHEN 'o_orderpriority' THEN COUNT(*) - COUNT(o_orderpriority)
+              END AS null_count,
+              COUNT(*) AS row_count
+            FROM orders
+            CROSS JOIN (SELECT unnest(['o_orderkey','o_custkey',
+              'o_orderstatus','o_totalprice','o_orderdate',
+              'o_orderpriority']) AS col) cols
+            GROUP BY col
+        """,
+        "length_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              MIN(n_chars) AS min_chars,
+              MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "haversine_suppliers": """
+            WITH c AS (
+              SELECT s_suppkey,
+                36.0 + fmod(CAST(s_suppkey AS DOUBLE)*7.0, 6.0) AS lat,
+                26.0 + fmod(CAST(s_suppkey AS DOUBLE)*13.0, 19.0) AS lon
+              FROM supplier
+            )
+            SELECT s_suppkey, lat, lon,
+              2*6371.0088*asin(sqrt(
+                sin(radians(39.9334-lat)/2)*sin(radians(39.9334-lat)/2)
+                + cos(radians(lat))*cos(radians(39.9334))
+                  *sin(radians(32.8597-lon)/2)*sin(radians(32.8597-lon)/2)
+              )) AS dist_ankara_km
+            FROM c
+        """,
+        "combine_scores": """
+            WITH s AS (
+              SELECT p_partkey,
+                fmod(CAST(p_partkey AS DOUBLE)*37.0, 101.0) AS text_s,
+                CASE WHEN p_size % 2 = 0 THEN 100.0 ELSE 0.0 END AS digits_s,
+                (p_size % 3 = 0) AS has_geo,
+                fmod(CAST(p_partkey AS DOUBLE)*11.0, 101.0) AS geo_s
+              FROM part
+            )
+            SELECT p_partkey,
+              CAST(FLOOR(1e6 * (CASE WHEN has_geo
+                THEN text_s*0.8 + digits_s*0.15 + geo_s*0.05
+                ELSE text_s*(0.8/0.95) + digits_s*(0.15/0.95) END))
+                AS BIGINT) AS confidence_e6
+            FROM s
+        """,
+        "doc_normalize": r"""
+            SELECT doc_id,
+              trim(regexp_replace(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "doc_quality_flags": r"""
+            SELECT doc_id,
+              length(text) AS char_len,
+              len(regexp_extract_all(text, '\S+')) AS word_len,
+              len(regexp_extract_all(text, '\d')) AS digit_count,
+              len(regexp_extract_all(text, '[^\w\s]')) AS punct_count,
+              (length(text) < 10 OR len(regexp_extract_all(text, '\S+')) < 2
+               OR length(text) > 180
+               OR len(regexp_extract_all(text, '\d')) = 0) AS is_suspicious
+            FROM documents
+        """,
+        "doc_filter_valid": r"""
+            SELECT doc_id FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+              AND NOT regexp_full_match(trim(text), '[\s\W_]+')
+              AND length(text) > 5
+        """,
+        "doc_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "doc_duplicate_flags": """
+            SELECT doc_id,
+              COUNT(*) OVER (PARTITION BY text) > 1 AS is_duplicate
+            FROM documents
+        """,
+        "doc_block_keys": r"""
+            SELECT doc_id,
+              coalesce(regexp_extract(text, '\d+'), '') || '|' ||
+              substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 6)
+              AS block_key
+            FROM documents
+        """,
+        "block_histogram": r"""
+            SELECT substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                          1, 4) AS block_key,
+                   COUNT(*) AS block_rows
+            FROM documents GROUP BY block_key
+        """,
+        "token_frequencies": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents
+            )
+            SELECT token, COUNT(*) AS count FROM toks
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY count DESC, token ASC LIMIT 100
+        """,
+        "lang_distribution": """
+            SELECT lang, COUNT(*) AS count FROM documents GROUP BY lang
+        """,
+        "doc_lang_id": _lang_id_sql(),
+        "doc_token_counts": r"""
+            SELECT doc_id,
+              len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+              len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_quality_score": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                CAST(length(text) AS DOUBLE) AS n,
+                CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS words,
+                CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                  AS punct,
+                CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS DOUBLE)
+                  AS stops
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(FLOOR(1e6 * (
+                (CASE WHEN n >= 20 AND n <= 2000 THEN 1.0 ELSE 0.0 END) * 0.4
+                + (1.0 - punct / greatest(n, 1.0)) * 0.3
+                + least(stops / greatest(words, 1.0), 1.0) * 0.3
+              )) AS BIGINT) AS quality_e6
+            FROM f
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH prep AS (
+              SELECT doc_id, lang, n_chars,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, lang, n_chars,
+                CASE WHEN length(t) < 3 THEN
+                  CASE WHEN t = '' THEN [] ELSE [t] END
+                ELSE list_distinct(list_transform(
+                  range(1, length(t) - 1), i -> substr(t, i, 3)))
+                END AS grams
+              FROM prep
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+              CAST(FLOOR(1e6 *
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                     AS DOUBLE)) AS BIGINT) AS jaccard_e6
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+              AND abs(a.n_chars - b.n_chars) <= 3
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                       AS DOUBLE) >= 0.15
+        """,
+        "cc_chain_clusters": """
+            WITH groups AS (
+              SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY lang, n_chars // 50)
+                  AS cluster_id,
+                COUNT(*) OVER (PARTITION BY lang, n_chars // 50) AS n
+              FROM documents
+            )
+            SELECT doc_id, cluster_id FROM groups WHERE n > 1
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(
+                  CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                  AS sim
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC)
+                  AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 4
+        """,
+        "minhash_pairs": r"""
+            WITH prep AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN length(t) < 3 THEN
+                  CASE WHEN t = '' THEN [] ELSE [t] END
+                ELSE list_distinct(list_transform(
+                  range(1, length(t) - 1), i -> substr(t, i, 3)))
+                END AS grams
+              FROM prep
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+              CAST(FLOOR(1e6 *
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                     AS DOUBLE)) AS BIGINT) AS jaccard_e6
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                       AS DOUBLE) >= 0.85
+        """,
+    }

@@ -1,0 +1,138 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "linkage_pages_per_sec", "value": <headline seconds>,
+   "unit": "sec", "queries": {...per-pipeline seconds...},
+   "pages_per_sec": ..., "sf": ..., "num_cpus": N}
+
+Headline = end-to-end linkage pipeline (extract -> normalize -> quality
+-> block -> pairwise score -> connected components) over the
+deterministic pages fixture sized for $GRAFT_SF_DIR; plus a set of
+secondary pipelines over the testdata tables.
+
+--scaling: runs the same bench in two fresh subprocesses at
+RAY_GRAFT_CPUS=8 and =32 and reports throughput at both plus scaling
+efficiency = T8 / (4 * T32) equivalently thr32 / (4 * thr8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from raylink.fixtures import ensure_fixture_dir, entities_for_sf_dir
+    from raylink.pipeline import run_linkage
+    import __ray_entry__ as entrymod
+
+    n_entities = entities_for_sf_dir(sf_dir)
+    fixture_dir = ensure_fixture_dir(n_entities)  # cached, untimed
+    pages_path = f"{fixture_dir}/pages.parquet"
+    import pyarrow.parquet as pq
+
+    n_pages = pq.read_metadata(pages_path).num_rows
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    pq.read_table(pages_path)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    pages = rd.read_parquet(pages_path)
+    out = run_linkage(pages, match_cfg=entrymod.FIXTURE_MATCH_CFG,
+                      with_clusters=True, with_unmatched=False,
+                      salt_hot_blocks=False,
+                      extract_concurrency=max(2, num_cpus // 4))
+    n_edges = out["edges"].count()
+    n_clusters = out["clusters"].count()
+    headline = time.perf_counter() - t0
+    timings["linkage_e2e"] = round(headline, 3)
+
+    secondary = [
+        ("pricing_summary", entrymod.q_pricing_summary),
+        ("revenue_by_nation", entrymod.q_revenue_by_nation),
+        ("doc_dedup_exact", entrymod.q_doc_dedup_exact),
+        ("minhash_pairs", entrymod.q_minhash_pairs),
+        ("token_frequencies", entrymod.q_token_frequencies),
+        ("knn_bruteforce", entrymod.q_knn_bruteforce),
+        ("doc_quality_score", entrymod.q_doc_quality_score),
+        ("events_tumbling_window", entrymod.q_events_tumbling_window),
+    ]
+    for name, fn in secondary:
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "linkage_e2e_sec",
+        "value": timings["linkage_e2e"],
+        "unit": "sec",
+        "queries": timings,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+        "edges": n_edges,
+        "clusters": n_clusters,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling() -> dict:
+    """Two fresh processes at 8 and 32 CPUs over the same input —
+    the sandbox proxy for the N vs 4N cluster-size criterion."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    thr8 = results[8]["pages_per_sec"]
+    thr32 = results[32]["pages_per_sec"]
+    eff = thr32 / (4.0 * thr8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t8,
+        "sec_32cpu": t32,
+        "pages_per_sec_8cpu": thr8,
+        "pages_per_sec_32cpu": thr32,
+        "pages": results[32]["pages"],
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

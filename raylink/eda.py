@@ -1,0 +1,150 @@
+"""EDA / report aggregations re-expressed as Ray Data pipelines
+(reference: addresskit/DeepEDA.py — G2-G6 in SURVEY §2.5).
+
+All wide steps pre-aggregate inside ``map_batches`` (one row per key per
+batch via Arrow hash aggregation) before the global ``groupby`` — the
+shuffle moves partial counts, not raw rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+def token_frequencies(ds, text_col: str, lowercase: bool = True):
+    """Token -> count over the corpus (DeepEDA.py:196-226 n-gram counts,
+    unigram case). Partial per-batch counts, then Sum-shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        if lowercase:
+            s = pc.utf8_lower(s)
+        toks = pc.list_flatten(pc.utf8_split_whitespace(s))
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"token": toks})
+        agg = t.group_by("token").aggregate([("token", "count")])
+        return agg.rename_columns(["token", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("token").aggregate(Sum("n", alias_name="count"))
+
+
+def ngram_frequencies(ds, text_col: str, n: int = 2):
+    """Word n-gram counts (DeepEDA.py:196-226)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        grams: list[str] = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            grams.extend(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        if not grams:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"ngram": pa.array(grams, pa.string())})
+        agg = t.group_by("ngram").aggregate([("ngram", "count")])
+        return agg.rename_columns(["ngram", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("ngram").aggregate(Sum("n", alias_name="count"))
+
+
+def value_distribution(ds, col: str):
+    """value_counts (DeepEDA.py:106-121 label distribution)."""
+    return ds.groupby(col).aggregate(Count(alias_name="count"))
+
+
+def gini_diversity(ds, col: str) -> float:
+    """1 - sum(p^2) over the value distribution (DeepEDA.py:117-121).
+    Small-result driver reduce over the aggregated counts."""
+    dist = value_distribution(ds, col).to_pandas()
+    total = dist["count"].sum()
+    if total == 0:
+        return 0.0
+    p = dist["count"] / total
+    return float(1.0 - (p * p).sum())
+
+
+def missing_report(ds, cols: list[str] | None = None):
+    """Per-column null counts (DeepEDA.py:67-72): partial sums per
+    batch, single global Sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names = cols or batch.column_names
+        out = {"column": pa.array(names, pa.string())}
+        nulls = [batch.column(c).null_count for c in names]
+        rows = [batch.num_rows] * len(names)
+        out["nulls"] = pa.array(nulls, pa.int64())
+        out["rows"] = pa.array(rows, pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("column").aggregate(
+        Sum("nulls", alias_name="null_count"),
+        Sum("rows", alias_name="row_count"),
+    )
+
+
+def numeric_profile(ds, col: str, by: str | None = None):
+    """mean/std/min/max (+count) of a numeric column, optionally per
+    group (DeepEDA.py:77-101 describe)."""
+    aggs = (
+        Mean(col, alias_name="mean"),
+        Std(col, alias_name="std"),
+        Min(col, alias_name="min"),
+        Max(col, alias_name="max"),
+        Count(alias_name="count"),
+    )
+    if by:
+        return ds.groupby(by).aggregate(*aggs)
+    return ds.aggregate(*aggs)
+
+
+def histogram(ds, col: str, bins: list[float]):
+    """Bucketed counts (pd.cut-style, DeepEDA.py:181-191): vectorized
+    bucket assignment per batch + count shuffle. Bin i covers
+    [bins[i], bins[i+1]); values outside range are dropped."""
+    edges = list(bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        idx = np.digitize(vals, edges) - 1
+        mask = (idx >= 0) & (idx < len(edges) - 1)
+        t = pa.table({"bin": pa.array(idx[mask].astype("int32"))})
+        if t.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        agg = t.group_by("bin").aggregate([("bin", "count")])
+        return agg.rename_columns(["bin", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("bin").aggregate(Sum("n", alias_name="count"))
+
+
+def keyword_presence(ds, text_col: str, keywords: list[str]):
+    """Per-keyword total hit counts (DeepEDA.py:143-176 token/variant
+    presence sums): vectorized count_substring_regex + global Sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        kws, hits = [], []
+        for kw in keywords:
+            pat = r"\b" + kw + r"\b"
+            kws.append(kw)
+            hits.append(
+                int(pc.sum(pc.count_substring_regex(s, pat)).as_py() or 0))
+        return pa.table({"keyword": pa.array(kws, pa.string()),
+                         "hits": pa.array(hits, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("keyword").aggregate(
+        Sum("hits", alias_name="hits"))

@@ -73,7 +73,22 @@ def shuffle_anti_join(left, right, on: str, num_partitions: int = 16):
     marker-null rows. All-shuffle; prefer broadcast_anti_join when the
     key set fits in memory."""
     marker = "_aj_marker"
-    rk = right.select_columns([on]).unique(on)
+    # distinct right keys as a Dataset (Dataset.unique returns a Python
+    # list, so dedup via per-batch distinct + groupby instead)
+    def _distinct(batch: pa.Table) -> pa.Table:
+        t = batch.select([on]).group_by(on).aggregate([])
+        return t
+
+    import pandas as pd
+
+    def _first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    rk = (
+        right.map_batches(_distinct, batch_format="pyarrow")
+        .groupby(on)
+        .map_groups(_first, batch_format="pandas")
+    )
 
     def _mark(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -233,6 +233,21 @@ def match_datasets(left, right, cfg: MatchConfig | None = None,
     edges = both.groupby(["block_key", "_salt"]).map_groups(
         _make_block_scorer(cfg), batch_format="pandas"
     )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        if "left_id" not in batch.column_names:
+            return pa.table({"left_id": pa.array([], pa.string()),
+                             "right_id": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "left_id": batch.column("left_id").cast(pa.string()),
+                "right_id": batch.column("right_id").cast(pa.string()),
+                "score": batch.column("score").cast(pa.float64()),
+            }
+        )
+
+    edges = edges.map_batches(typed, batch_format="pyarrow")
     if cfg.keep_best_per_right:
         edges = keep_best_per_right(edges)
     return edges

@@ -46,11 +46,18 @@ def split_left_right(ds, url_col: str = "url",
 
 def prepare_pages(pages, normalize_cfg: dict | None = None,
                   extract_concurrency: int = 4,
-                  drop_suspicious: bool = True):
-    """pages -> normalized/quality-filtered dataset with addr_norm."""
+                  drop_suspicious: bool = True,
+                  with_parse: bool = False):
+    """pages -> normalized/quality-filtered dataset with addr_norm
+    (+ parsed field struct when with_parse, per the north-star's
+    libpostal-style per-page field parse)."""
     ds = extract_dataset(pages, concurrency=extract_concurrency)
     ds = normalize_dataset(ds, "text_extracted", "addr_norm",
                            normalize_cfg or DEFAULT_NORMALIZE_CFG)
+    if with_parse:
+        from .parse import parse_dataset
+
+        ds = parse_dataset(ds, "text_extracted")
     ds = add_quality_flags(ds, "addr_norm")
     ds = filter_valid_text(ds, "addr_norm")
     if drop_suspicious:
@@ -67,7 +74,9 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
                 extract_concurrency: int = 4,
                 with_clusters: bool = True,
                 with_unmatched: bool = True,
-                salt_hot_blocks: bool = True):
+                salt_hot_blocks: bool = True,
+                with_parse: bool = True,
+                cc_small_threshold: int = 2_000_000):
     """-> dict with 'edges', 'clusters', 'unmatched_left',
     'unmatched_right', 'prepared' Datasets (lazy where possible)."""
     cfg = match_cfg or MatchConfig()
@@ -75,7 +84,8 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
 
     def _prepared():
         return prepare_pages(pages, normalize_cfg,
-                             extract_concurrency=extract_concurrency)
+                             extract_concurrency=extract_concurrency,
+                             with_parse=with_parse)
 
     if ckpt:
         prepared, prep_fp = ckpt.run(
@@ -84,7 +94,10 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
             _prepared,
         )
     else:
-        prepared = _prepared()
+        # prepared feeds 2-4 consumers (left/right sides, hot-block
+        # scan, unmatched) — pin it in the object store (spills to disk
+        # at scale) instead of re-running extract+normalize per consumer
+        prepared = _prepared().materialize()
         prep_fp = fingerprint({"normalize": normalize_cfg or
                                DEFAULT_NORMALIZE_CFG})
 
@@ -113,7 +126,8 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
 
     if with_clusters:
         def _clusters():
-            return connected_components(edges)
+            return connected_components(
+                edges, small_threshold=cc_small_threshold)
 
         if ckpt:
             out["clusters"], _ = ckpt.run(

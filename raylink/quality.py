@@ -24,11 +24,9 @@ def add_quality_flags(ds, text_col: str, batch_size: int = 16384):
         s = batch.column(text_col).cast(pa.string())
         s = pc.fill_null(s, "")
         char_len = pc.utf8_length(s)
-        word_len = pc.list_value_length(pc.utf8_split_whitespace(s))
-        # split_whitespace counts an empty string as one element
-        word_len = pc.if_else(pc.equal(char_len, 0),
-                              pa.scalar(0, pa.int32()),
-                              pc.cast(word_len, pa.int32()))
+        # count non-whitespace runs (utf8_split_whitespace keeps empty
+        # edge tokens, so it can't be used for word counts)
+        word_len = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int32())
         digit_count = pc.count_substring_regex(s, r"\d")
         punct_count = pc.count_substring_regex(s, r"[^\w\s]")
         suspicious = pc.or_(

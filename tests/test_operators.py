@@ -1,0 +1,229 @@
+"""Tests for dedup / similarity-search / textstats / multimodal / eda /
+checkpoint operators on small deterministic inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raylink.checkpoint import CheckpointManager
+from raylink.dedup import (
+    char_shingles,
+    dedup_exact_text,
+    embedding_near_dup_pairs,
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signature,
+    _minhash_params,
+    ngram_jaccard,
+    simhash64,
+    simhash_pairs,
+)
+from raylink.eda import (
+    gini_diversity,
+    histogram,
+    keyword_presence,
+    missing_report,
+    ngram_frequencies,
+    token_frequencies,
+)
+from raylink.multimodal import build_media_fixture, decode_images, sample_frames
+from raylink.simsearch import IVFIndex, knn_bruteforce
+from raylink.textstats import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality_score,
+    add_token_counts,
+    detect_lang,
+    rolling_fingerprint,
+)
+
+
+def _docs():
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over a lazy dog"},
+        {"doc_id": 3, "text": "completely different content here entirely"},
+        {"doc_id": 4, "text": "der schnelle braune fuchs und der hund"},
+        {"doc_id": 5, "text": "le chat et le chien dans la maison"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_ngram_jaccard_kernel():
+    assert ngram_jaccard("abc", "abc") == 1.0
+    assert ngram_jaccard("", "") == 1.0
+    assert ngram_jaccard("abc", "xyz") == 0.0
+    assert 0 < ngram_jaccard("abcdef", "abcxef") < 1
+
+
+def test_minhash_estimates_jaccard():
+    params = _minhash_params(256)
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over a lazy dog"
+    sa = minhash_signature(a, 256, params)
+    sb = minhash_signature(b, 256, params)
+    est = float(np.mean(sa == sb))
+    true = ngram_jaccard(a, b)
+    assert abs(est - true) < 0.15
+
+
+def test_dedup_exact_text():
+    out = dedup_exact_text(_docs(), "text", "doc_id").to_pandas()
+    assert len(out) == 5
+    assert 0 in set(out["doc_id"])
+    assert 1 not in set(out["doc_id"])
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = minhash_lsh_pairs(_docs(), "text", "doc_id",
+                              jaccard_threshold=0.5).to_pandas()
+    got = {tuple(sorted((int(l), int(r))))
+           for l, r in zip(pairs["left_id"], pairs["right_id"])}
+    assert (0, 1) in got  # exact dup
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert all(3 not in p for p in got)
+
+
+def test_simhash():
+    a = simhash64("the quick brown fox")
+    b = simhash64("the quick brown fox")
+    c = simhash64("totally other words here")
+    assert a == b
+    assert hamming64(a, c) > 3
+    pairs = simhash_pairs(_docs(), "text", "doc_id",
+                          max_hamming=3).to_pandas()
+    got = {tuple(sorted((int(l), int(r))))
+           for l, r in zip(pairs["left_id"], pairs["right_id"])}
+    assert (0, 1) in got
+
+
+def test_embedding_near_dup():
+    rng = np.random.RandomState(0)
+    base = rng.randn(10, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": list(map(float, v))})
+    # vec 10 = near-copy of vec 0
+    rows.append({"vec_id": 10,
+                 "embedding": list(map(float, base[0] + 0.001))})
+    ds = rd.from_items(rows)
+    pairs = embedding_near_dup_pairs(ds, "embedding", "vec_id",
+                                     cos_threshold=0.99).to_pandas()
+    got = {tuple(sorted((int(l), int(r))))
+           for l, r in zip(pairs["left_id"], pairs["right_id"])}
+    assert (0, 10) in got
+
+
+def test_knn_bruteforce_exact():
+    rng = np.random.RandomState(1)
+    mat = rng.randn(50, 8)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": list(map(float, v))}
+         for i, v in enumerate(mat)])
+    q = mat[7]
+    res = knn_bruteforce(ds, [q], "embedding", "vec_id", k=3)[0]
+    assert res[0][0] == "7"  # self is nearest
+    assert res[0][1] == pytest.approx(1.0)
+    # brute-force oracle
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ (q / np.linalg.norm(q))
+    want = list(np.argsort(-sims)[:3])
+    assert [int(i) for i, _ in res] == want
+
+
+def test_ivf_recall():
+    rng = np.random.RandomState(2)
+    mat = rng.randn(200, 16)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": list(map(float, v))}
+         for i, v in enumerate(mat)])
+    idx = IVFIndex(n_lists=8, n_probe=4).fit(mat)
+    assigned = idx.assign_dataset(ds, "embedding").materialize()
+    res = idx.search(assigned, [mat[3]], "embedding", "vec_id", k=1)[0]
+    assert res[0][0] == "3"
+
+
+def test_textstats():
+    assert detect_lang("the cat and the dog is here") == "en"
+    assert detect_lang("der hund und die katze") == "de"
+    assert detect_lang("xyz qwerty") == "und"
+    ds = add_lang_id(_docs(), "text")
+    df = ds.to_pandas()
+    assert df.loc[df.doc_id == 0, "lang_pred"].iloc[0] == "en"
+    assert df.loc[df.doc_id == 4, "lang_pred"].iloc[0] == "de"
+
+    tc = add_token_counts(_docs(), "text").to_pandas()
+    assert tc.loc[tc.doc_id == 0, "ws_tokens"].iloc[0] == 9
+
+    qs = add_quality_score(_docs(), "text").to_pandas()
+    assert ((qs["quality"] >= 0) & (qs["quality"] <= 1)).all()
+
+    fp = add_fingerprint(_docs(), "text").to_pandas()
+    assert fp.loc[fp.doc_id == 0, "fingerprint"].iloc[0] == \
+        fp.loc[fp.doc_id == 1, "fingerprint"].iloc[0]
+    assert rolling_fingerprint("") == 0
+
+
+def test_eda_aggregates():
+    docs = _docs()
+    tf = token_frequencies(docs, "text").to_pandas()
+    assert int(tf.loc[tf.token == "the", "count"].iloc[0]) == 5
+    ng = ngram_frequencies(docs, "text", 2).to_pandas()
+    assert int(ng.loc[ng.ngram == "quick brown", "count"].iloc[0]) == 3
+    mr = missing_report(docs).to_pandas()
+    assert (mr["null_count"] == 0).all()
+    ds_num = rd.from_items([{"v": float(i), "k": i % 2} for i in range(10)])
+    hist = histogram(ds_num, "v", [0, 5, 10]).to_pandas()
+    assert dict(zip(hist["bin"], hist["count"])) == {0: 5, 1: 5}
+    g = gini_diversity(ds_num, "k")
+    assert g == pytest.approx(0.5)
+    kp = keyword_presence(docs, "text", ["fox", "dog"]).to_pandas()
+    assert int(kp.loc[kp.keyword == "fox", "hits"].iloc[0]) == 3
+
+
+def test_multimodal_plumbing():
+    media = rd.from_arrow(build_media_fixture(30))
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    feats = decode_images(imgs, concurrency=2).to_pandas()
+    assert len(feats) == 10
+    assert all(len(f) == 64 for f in feats["feature"])
+    # determinism
+    feats2 = decode_images(imgs, concurrency=2).to_pandas()
+    f1 = {m: list(f) for m, f in zip(feats["media_id"], feats["feature"])}
+    f2 = {m: list(f) for m, f in zip(feats2["media_id"], feats2["feature"])}
+    assert f1 == f2
+    vids = media.filter(lambda r: r["kind"] == "video")
+    frames = sample_frames(vids, concurrency=2).to_pandas()
+    assert (frames.groupby("media_id").size() >= 3).all()
+
+
+def test_checkpoint_resume(tmp_path):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return rd.range(100)
+
+    mgr = CheckpointManager(str(tmp_path))
+    ds1, fp1 = mgr.run("stage1", {"cfg": 1}, build)
+    assert calls["n"] == 1
+    assert ds1.count() == 100
+    # same fingerprint -> skipped
+    mgr2 = CheckpointManager(str(tmp_path))
+    ds2, fp2 = mgr2.run("stage1", {"cfg": 1}, build)
+    assert calls["n"] == 1
+    assert fp2 == fp1
+    assert ds2.count() == 100
+    # changed config -> recompute
+    ds3, fp3 = mgr2.run("stage1", {"cfg": 2}, build)
+    assert calls["n"] == 2
+    assert fp3 != fp1
+    lineage_dir = mgr2.write_lineage()
+    import pyarrow.parquet as pq
+
+    lt = pq.read_table(f"{lineage_dir}/lineage.parquet")
+    assert lt.num_rows == 2
