@@ -126,36 +126,61 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str,
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_band, out_hash, out_id, out_text = [], [], [], []
+        out_band, out_hash, out_id, out_text, out_all = [], [], [], [], []
         for i, t in zip(ids, texts):
             sig = minhash_signature(t, num_perm, params, shingle_k)
+            hashes = [
+                hashlib.blake2b(
+                    sig[b * rows_per_band:(b + 1) * rows_per_band].tobytes(),
+                    digest_size=8).hexdigest()
+                for b in range(bands)
+            ]
             for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(),
-                                     digest_size=8).hexdigest()
                 out_band.append(b)
-                out_hash.append(bh)
+                out_hash.append(hashes[b])
                 out_id.append(str(i))
                 out_text.append(t)
+                out_all.append(hashes)
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.string()),
                 "doc_id": pa.array(out_id, pa.string()),
                 "text": pa.array(out_text, pa.string()),
+                "all_hashes": pa.array(out_all, pa.list_(pa.string())),
             }
         )
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
 
+    # One shuffle; each pair is verified exactly once globally: a pair
+    # agreeing in several bands is emitted only by its FIRST agreeing
+    # band (checked against the carried per-doc band-hash lists).
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("doc_id").drop_duplicates("doc_id")
+        band = int(g["band"].iloc[0])
         ids = list(g["doc_id"])
         texts = list(g["text"])
+        allh = [list(h) for h in g["all_hashes"]]
+        shingles = [None] * len(ids)
+
+        def sh(i):
+            if shingles[i] is None:
+                shingles[i] = char_shingles(texts[i], shingle_k)
+            return shingles[i]
+
         left, right, jac = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                v = ngram_jaccard(texts[i], texts[j], shingle_k)
+                if any(allh[i][b] == allh[j][b] for b in range(band)):
+                    continue  # an earlier band already owns this pair
+                a, b = sh(i), sh(j)
+                la, lb = len(a), len(b)
+                if la and lb and min(la, lb) / max(la, lb) < jaccard_threshold:
+                    continue  # size-ratio upper bound on Jaccard
+                inter = len(a & b)
+                union = la + lb - inter
+                v = 1.0 if union == 0 else inter / union
                 if v >= jaccard_threshold:
                     left.append(ids[i])
                     right.append(ids[j])
@@ -168,16 +193,8 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str,
             }
         )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+    return banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
-    )
-
-    # same pair can surface from several bands -> dedup on the pair key
-    def pick_one(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs.groupby(["left_id", "right_id"]).map_groups(
-        pick_one, batch_format="pandas"
     )
 
 
