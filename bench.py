@@ -48,11 +48,14 @@ def run_bench() -> dict:
     n_entities = entities_for_sf_dir(sf_dir)
     fixture_dir = ensure_fixture_dir(n_entities)  # cached, untimed
     pages_path = f"{fixture_dir}/pages.parquet"
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    n_pages = pq.read_metadata(pages_path).num_rows
-    # warm the page cache so we measure compute+shuffle, not cold disk
-    pq.read_table(pages_path)
+    dset = pads.dataset(pages_path)  # file or directory of shards
+    n_pages = dset.count_rows()
+    # warm the OS page cache so we measure compute+shuffle, not cold
+    # disk; stream batches instead of holding the table in RAM
+    for _ in dset.to_batches():
+        pass
 
     timings: dict[str, float] = {}
 
@@ -61,7 +64,7 @@ def run_bench() -> dict:
     out = run_linkage(pages, match_cfg=entrymod.FIXTURE_MATCH_CFG,
                       with_clusters=True, with_unmatched=False,
                       salt_hot_blocks=False,
-                      extract_concurrency=max(2, num_cpus // 4))
+                      extract_concurrency=max(4, num_cpus // 2))
     n_edges = out["edges"].count()
     n_clusters = out["clusters"].count()
     headline = time.perf_counter() - t0

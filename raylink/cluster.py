@@ -171,6 +171,53 @@ def connected_components(edges, src: str = "left_id", dst: str = "right_id",
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def connected_components_blocked(edges, key_col: str = "block_key",
+                                 src: str = "left_id",
+                                 dst: str = "right_id"):
+    """Connected components for BLOCKED edge sets: when every edge was
+    generated within a blocking key (as in the linkage pipeline), a
+    connected component can never span two block keys, so the closure
+    is exactly one ``groupby(block_key)`` + per-group union-find — one
+    shuffle, no iterative rounds. PARTITIONING ASSUMPTION (documented
+    per SURVEY §2.4 J8): edges[key_col] must be the blocking key both
+    endpoints share; violate it and use :func:`connected_components`.
+    """
+    num_buckets = 256
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        if key_col not in batch.column_names:
+            return pa.table({"_bucket": pa.array([], pa.int32()),
+                             "u": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        keys = batch.column(key_col).to_pylist()
+        return pa.table(
+            {"_bucket": pa.array(
+                [_fnv64(k) % num_buckets for k in keys], pa.int32()),
+             "u": batch.column(src).cast(pa.string()),
+             "v": batch.column(dst).cast(pa.string())})
+
+    bucketed = edges.map_batches(to_bucket, batch_format="pyarrow")
+
+    # one group per hash bucket (bounded), union-find inside — the
+    # per-block grouping is implicit: disjoint blocks cannot connect,
+    # so running union-find over a whole bucket is exact
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        if "u" not in bucket.column_names or bucket.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.string()),
+                             "cluster_id": pa.array([], pa.string())})
+        mapping = connected_components_local(
+            list(zip(bucket.column("u").to_pylist(),
+                     bucket.column("v").to_pylist())))
+        ids = sorted(mapping)
+        return pa.table(
+            {"id": pa.array(ids, pa.string()),
+             "cluster_id": pa.array([mapping[i] for i in ids],
+                                    pa.string())})
+
+    return bucketed.repartition(64).groupby("_bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
 def connected_components_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
     """Driver-side union-find oracle for tests (small inputs only)."""
     parent: dict[str, str] = {}

@@ -93,6 +93,8 @@ class MatchConfig:
     max_block_pairs: int = 2_000_000       # cap L*R pairs per block
     salt_over: int = 512                   # salt blocks bigger than this
     num_salts: int = 8
+    num_buckets: int = 256                 # hash buckets for the co-shuffle
+    shuffle_partitions: int = 64           # coalesce before wide groupbys
 
     def __post_init__(self) -> None:
         # threshold 0-1 -> percent (addresskit/match.py:96-103)
@@ -130,6 +132,8 @@ class MatchConfig:
             max_block_pairs=int(cfg.get("max_block_pairs", 2_000_000)),
             salt_over=int(cfg.get("salt_over", 512)),
             num_salts=int(cfg.get("num_salts", 8)),
+            num_buckets=int(cfg.get("num_buckets", 256)),
+            shuffle_partitions=int(cfg.get("shuffle_partitions", 64)),
         )
 
     @classmethod

@@ -26,16 +26,20 @@ import pyarrow.parquet as pq
 from .blocking import make_block_key
 from .normalize import normalize_text
 
-# >=6-char alphabetic roots so twin prefixes collide on prefix6
-MAH_ROOTS = [
-    "akasya", "yildiz", "cumhur", "bahcelievler", "goztepe", "caglayan",
-    "ferahli", "gulbahar", "karanfil", "menekse", "orhangazi", "papatya",
-    "selvili", "tomurcuk", "yesilyurt", "zeytinlik", "armutlu", "baglarbasi",
-    "cinarli", "dereboyu", "erenkoy", "fidanlik", "gokdere", "huzurlu",
-    "incirli", "kavakli", "lalezar", "manolya", "nilufer", "osmanaga",
-    "pinarbasi", "rasimpasa", "sahrayicedit", "tahtakale", "umraniye",
-    "vefakar", "yakacik", "zumrutevler", "altintepe", "bostanci",
-]
+# mahalle roots are composed from two 3-letter syllables (exactly 6
+# chars, so a twin's "+lik" suffix keeps the same prefix6). Root space
+# = 30*30 = 900; with 398 house numbers that is ~358k distinct
+# digits+prefix6 blocks, so block sizes stay bounded as the fixture
+# scales (real corpora add streets as they add pages; a fixed root
+# list would make blocks grow quadratically with n_entities).
+SYL_A = ["aka", "bel", "cam", "der", "efe", "fer", "gok", "han", "ince",
+         "kar", "lal", "mer", "nil", "ova", "pin", "ras", "sel", "tas",
+         "ulu", "ver", "yak", "zum", "bos", "cin", "dag", "eren", "fid",
+         "gul", "huz", "irm"][:30]
+SYL_B = ["bas", "cik", "dam", "eli", "fen", "gar", "hat", "ist", "koy",
+         "lik", "mes", "nar", "oba", "pek", "ray", "soy", "tep", "urt",
+         "vad", "yol", "zen", "bag", "cev", "dor", "ege", "flu", "gun",
+         "his", "kum", "lar"][:30]
 CAD_NAMES = [
     "guven", "istiklal", "ataturk", "inonu", "millet", "vatan", "gazi",
     "fevzipasa", "mithatpasa", "ordu", "sakarya", "talatpasa", "ulubatli",
@@ -94,10 +98,11 @@ class Entity:
             il_pool = [p for p in ILCE_IL if p[1] != prev.il]
             self.ilce, self.il = il_pool[(h >> 24) % len(il_pool)]
         else:
-            self.mah = MAH_ROOTS[idx % len(MAH_ROOTS)]
+            self.mah = (SYL_A[(h >> 40) % len(SYL_A)]
+                        + SYL_B[(h >> 48) % len(SYL_B)])
             self.cad = CAD_NAMES[h % len(CAD_NAMES)]
             self.use_sokak = (h >> 4) % 3 == 0
-            self.no = (idx // len(MAH_ROOTS)) % 98 + 1
+            self.no = (h >> 54) % 398 + 1
             self.daire = (h >> 12) % 9 + 1 if (h >> 8) % 2 else None
             self.kat = (h >> 20) % 6 + 1 if (h >> 16) % 3 == 0 else None
             self.bina = (
@@ -186,11 +191,15 @@ def page_html(text: str, title: str) -> bytes:
 
 
 def build_pages(n_entities: int, seed: int = 42,
-                noise_fraction: float = 0.05):
+                noise_fraction: float = 0.05,
+                entity_lo: int = 0, entity_hi: int | None = None):
     """-> (pages: pa.Table, truth: dict url -> entity idx | None).
 
     Left pages live on site L (url .../L/...), right pages on site R —
-    two disjoint views of the same entity universe (FIXTURES.md §1)."""
+    two disjoint views of the same entity universe (FIXTURES.md §1).
+    ``entity_lo/hi`` select a shard of the entity range — output is a
+    pure function of (seed, entity index), so shards generated in
+    parallel concatenate to exactly the serial output."""
     urls: list[str] = []
     ts: list[datetime] = []
     htmls: list[bytes] = []
@@ -198,19 +207,19 @@ def build_pages(n_entities: int, seed: int = 42,
     langs: list[str] = []
     truth: dict[str, int | None] = {}
 
-    row = 0
-
-    def add(url: str, text: str, lang: str, ent_idx: int | None):
-        nonlocal row
+    def add(url: str, text: str, lang: str, ent_idx: int | None,
+            ordinal: int):
         urls.append(url)
-        ts.append(_EPOCH + timedelta(seconds=row * 17))
+        # ts derived from a stable ordinal (not a running counter) so
+        # sharded generation equals serial generation byte-for-byte
+        ts.append(_EPOCH + timedelta(seconds=ordinal * 17))
         htmls.append(page_html(text, url))
         texts.append(text)
         langs.append(lang)
         truth[url] = ent_idx
-        row += 1
 
-    for i in range(n_entities):
+    hi = n_entities if entity_hi is None else entity_hi
+    for i in range(entity_lo, hi):
         ent = Entity(i, seed)
         h = _h(seed, "counts", i)
         n_left = 1 + (h % 2)
@@ -218,17 +227,23 @@ def build_pages(n_entities: int, seed: int = 42,
         for v in range(n_left):
             lang = "tr" if _h(seed, "lang", i, v) % 20 else "en"
             add(f"https://siteL.example/p/{i}/{v}",
-                render_variant(ent, v, seed), lang, i)
+                render_variant(ent, v, seed), lang, i, i * 8 + v)
         for v in range(n_right):
             lang = "tr" if _h(seed, "lang", i, 100 + v) % 20 else ""
             add(f"https://siteR.example/p/{i}/{v}",
-                render_variant(ent, 100 + v, seed), lang, i)
+                render_variant(ent, 100 + v, seed), lang, i, i * 8 + 4 + v)
 
+    # noise rows are assigned to entity-index slots so sharded
+    # generation emits each exactly once
     n_noise = int(n_entities * noise_fraction)
+    per = max(1, n_entities // n_noise) if n_noise else 0
     for j in range(n_noise):
+        owner = j * per
+        if not (entity_lo <= owner < hi):
+            continue
         side = "L" if j % 2 == 0 else "R"
         add(f"https://site{side}.example/noise/{j}",
-            _noise_text(j, seed), "tr", None)
+            _noise_text(j, seed), "tr", None, n_entities * 8 + j)
 
     pages = pa.table(
         {
@@ -281,19 +296,46 @@ def build_labeled_pairs(pages: pa.Table, truth: dict,
     )
 
 
+PARALLEL_GEN_THRESHOLD = 50_000
+
+
 def ensure_fixture_dir(n_entities: int, seed: int = 42,
                        base: str = "/tmp/raylink_fixtures") -> str:
     """Write (once) pages.parquet + labeled_pairs.parquet for the given
-    size; returns the directory. Cached by (n_entities, seed)."""
-    out = os.path.join(base, f"e{n_entities}_s{seed}")
+    size; returns the directory. Cached by (n_entities, seed). Large
+    sizes are generated as parallel Ray tasks over entity shards
+    (pure-function sharding => identical rows to serial generation);
+    labeled pairs are only materialized for small (test) sizes."""
+    out = os.path.join(base, f"e{n_entities}_s{seed}_v2")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
-    pages, truth = build_pages(n_entities, seed)
-    pq.write_table(pages, os.path.join(out, "pages.parquet"))
-    pq.write_table(build_labeled_pairs(pages, truth),
-                   os.path.join(out, "labeled_pairs.parquet"))
+    if n_entities <= PARALLEL_GEN_THRESHOLD:
+        pages, truth = build_pages(n_entities, seed)
+        pq.write_table(pages, os.path.join(out, "pages.parquet"))
+        pq.write_table(build_labeled_pairs(pages, truth),
+                       os.path.join(out, "labeled_pairs.parquet"))
+    else:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def gen_shard(lo: int, hi: int, path: str) -> int:
+            tbl, _ = build_pages(n_entities, seed,
+                                 entity_lo=lo, entity_hi=hi)
+            pq.write_table(tbl, path)
+            return tbl.num_rows
+
+        pages_dir = os.path.join(out, "pages.parquet")
+        os.makedirs(pages_dir, exist_ok=True)
+        shard = 12_500
+        refs = [
+            gen_shard.remote(
+                lo, min(lo + shard, n_entities),
+                os.path.join(pages_dir, f"part-{lo // shard:05d}.parquet"))
+            for lo in range(0, n_entities, shard)
+        ]
+        ray.get(refs)
     with open(marker, "w") as f:
         f.write("ok")
     return out
@@ -303,5 +345,7 @@ def entities_for_sf_dir(sf_dir: str) -> int:
     """Map a testdata sf dir onto a fixture size (used by __ray_entry__
     so pages-pipeline queries scale with the requested sf)."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    table = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 20000}
+    # sf0.1 is the bench scale: large enough that compute (not
+    # orchestration overhead) dominates, so throughput scales with CPUs
+    table = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 800_000}
     return table.get(name, 2000)

@@ -32,7 +32,7 @@ from .scoring import (
     haversine_km,
     tokenize_without_stops,
 )
-from .textkernels import get_scorer
+from .textkernels import get_scorer, token_set_ratio_from_sets
 
 
 def _fnv64(s: str) -> int:
@@ -55,6 +55,8 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
 
     ds = add_block_keys(ds, text_col, cfg.block_by, allow_single_bucket=True)
 
+    num_buckets = cfg.num_buckets
+
     def project(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids = batch.column(id_col).cast(pa.string())
@@ -76,43 +78,49 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
                 "_side": pa.array([side] * n, pa.int8()),
             }
         )
-        if not hot:
-            return base.append_column("_salt", pa.array([0] * n, pa.int32()))
         key_list = keys.to_pylist()
+        if not hot:
+            base = base.append_column(
+                "_salt", pa.array([0] * n, pa.int32()))
+            buckets = [_fnv64(f"{k}|0") % num_buckets for k in key_list]
+            return base.append_column(
+                "_bucket", pa.array(buckets, pa.int32()))
         if side == 0:
             salts = [
                 _fnv64(i) % num_salts if k in hot else 0
                 for i, k in zip(ids.to_pylist(), key_list)
             ]
-            return base.append_column("_salt", pa.array(salts, pa.int32()))
-        # right side: replicate hot-block rows across all salts
-        idx: list[int] = []
-        salts = []
-        for row, k in enumerate(key_list):
-            if k in hot:
-                for s in range(num_salts):
+        else:
+            # right side: replicate hot-block rows across all salts
+            idx: list[int] = []
+            salts = []
+            for row, k in enumerate(key_list):
+                if k in hot:
+                    for s in range(num_salts):
+                        idx.append(row)
+                        salts.append(s)
+                else:
                     idx.append(row)
-                    salts.append(s)
-            else:
-                idx.append(row)
-                salts.append(0)
-        rep = base.take(pa.array(idx, pa.int64()))
-        return rep.append_column("_salt", pa.array(salts, pa.int32()))
+                    salts.append(0)
+            base = base.take(pa.array(idx, pa.int64()))
+            key_list = base.column("block_key").to_pylist()
+        base = base.append_column("_salt", pa.array(salts, pa.int32()))
+        buckets = [
+            _fnv64(f"{k}|{s}") % num_buckets
+            for k, s in zip(key_list, salts)
+        ]
+        return base.append_column(
+            "_bucket", pa.array(buckets, pa.int32()))
 
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-def _empty_edges() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "left_id": pd.Series([], dtype="object"),
-            "right_id": pd.Series([], dtype="object"),
-            "score": pd.Series([], dtype="float64"),
-        }
-    )
-
-
-def _make_block_scorer(cfg: MatchConfig):
+def _make_bucket_scorer(cfg: MatchConfig):
+    """Per-BUCKET scorer: one hash bucket holds many (block_key, salt)
+    groups; grouping happens with a plain dict inside the function, so
+    the shuffle has at most ``cfg.num_buckets`` groups regardless of
+    block count (per-group pandas overhead was the match-stage
+    bottleneck at millions of tiny blocks)."""
     scorer = get_scorer(cfg.scorer)
     stops = set(cfg.semantic_stopwords)
     thr = cfg.threshold
@@ -120,74 +128,104 @@ def _make_block_scorer(cfg: MatchConfig):
     w_text, w_digits, w_geo = cfg.w_text, cfg.w_digits, cfg.w_geo
     max_km = cfg.geo_max_km
     max_pairs = cfg.max_block_pairs
+    # token_set_ratio re-tokenizes both strings per call; in a block
+    # every row is compared against many others, so score from
+    # pre-tokenized sets when that scorer is selected (identical result)
+    use_token_sets = str(cfg.scorer).lower() == "token_set_ratio"
 
-    def score_block(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["_side"] == 0]
-        right = group[group["_side"] == 1]
-        if left.empty or right.empty:
-            return _empty_edges()
-        if len(left) * len(right) > max_pairs:
-            # explicit skew guard: refuse silent quadratic blowup
-            raise ValueError(
-                f"block '{group['block_key'].iloc[0]}' has "
-                f"{len(left)}x{len(right)} pairs > max_block_pairs="
-                f"{max_pairs}; raise salt_over/num_salts or tighten "
-                f"the blocking key"
-            )
-        r_pre = [
-            (
-                rid,
-                rtxt,
-                tokenize_without_stops(rtxt, stops),
-                extract_numbers(rtxt),
-                rlat,
-                rlon,
-            )
-            for rid, rtxt, rlat, rlon in zip(
-                right["_id"], right["_text"], right["_lat"], right["_lon"]
-            )
-        ]
+    def score_bucket(bucket: pa.Table) -> pa.Table:
+        if "block_key" not in bucket.column_names or bucket.num_rows == 0:
+            return pa.table({"left_id": pa.array([], pa.string()),
+                             "right_id": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64()),
+                             "block_key": pa.array([], pa.string())})
+        ids = bucket.column("_id").to_pylist()
+        texts = bucket.column("_text").to_pylist()
+        lats = bucket.column("_lat").to_pylist()
+        lons = bucket.column("_lon").to_pylist()
+        keys = bucket.column("block_key").to_pylist()
+        sides = bucket.column("_side").to_pylist()
+        salts = bucket.column("_salt").to_pylist()
+
+        groups: dict[tuple, tuple[list, list]] = {}
+        for i in range(len(ids)):
+            g = groups.setdefault((keys[i], salts[i]), ([], []))
+            g[sides[i]].append(i)
+
         out_l: list[str] = []
         out_r: list[str] = []
         out_s: list[float] = []
-        for lid, ltxt, llat, llon in zip(
-            left["_id"], left["_text"], left["_lat"], left["_lon"]
-        ):
-            ltok = tokenize_without_stops(ltxt, stops)
-            lnums = extract_numbers(ltxt)
-            lgeo = pd.notna(llat) and pd.notna(llon)
-            best: list[tuple[float, str]] = []
-            for rid, rtxt, rtok, rnums, rlat, rlon in r_pre:
-                if stops and not (ltok & rtok):
-                    continue
-                text_s = float(scorer(ltxt, rtxt))
-                if lnums and rnums:
-                    d_s = 100.0 if (lnums & rnums) else 0.0
-                else:
-                    d_s = 0.0
-                g_s = None
-                if lgeo and pd.notna(rlat) and pd.notna(rlon):
-                    g_s = geo_score_km(
-                        haversine_km(llat, llon, rlat, rlon), max_km=max_km
-                    )
-                conf = combine_scores(
-                    text_s, d_s, g_s,
-                    w_text=w_text, w_digits=w_digits, w_geo=w_geo,
-                )
-                if conf >= thr:
-                    best.append((conf, rid))
-            if not best:
+        out_k: list[str] = []
+        for (key, _salt), (lidx, ridx) in groups.items():
+            if not lidx or not ridx:
                 continue
-            best.sort(key=lambda x: (-x[0], x[1]))
-            for conf, rid in best[:topk]:
-                out_l.append(lid)
-                out_r.append(rid)
-                out_s.append(round(conf, 2))
-        return pd.DataFrame(
-            {"left_id": out_l, "right_id": out_r, "score": out_s}
-        )
+            if len(lidx) * len(ridx) > max_pairs:
+                # explicit skew guard: refuse silent quadratic blowup
+                raise ValueError(
+                    f"block '{key}' has {len(lidx)}x{len(ridx)} pairs "
+                    f"> max_block_pairs={max_pairs}; raise "
+                    f"salt_over/num_salts or tighten the blocking key")
+            r_pre = [
+                (
+                    ids[j],
+                    texts[j],
+                    tokenize_without_stops(texts[j], stops),
+                    extract_numbers(texts[j]),
+                    lats[j],
+                    lons[j],
+                    set(texts[j].split()),
+                )
+                for j in ridx
+            ]
+            for li in lidx:
+                ltxt = texts[li]
+                ltok = tokenize_without_stops(ltxt, stops)
+                lnums = extract_numbers(ltxt)
+                ltokens = set(ltxt.split())
+                llat, llon = lats[li], lons[li]
+                lgeo = llat is not None and llon is not None
+                best: list[tuple[float, str]] = []
+                for rid, rtxt, rtok, rnums, rlat, rlon, rtokens in r_pre:
+                    if stops and not (ltok & rtok):
+                        continue
+                    if ltxt == rtxt:
+                        # same-entity variants frequently normalize to
+                        # identical strings — skip the LCS entirely
+                        text_s = 100.0
+                    elif use_token_sets:
+                        text_s = token_set_ratio_from_sets(ltokens, rtokens)
+                    else:
+                        text_s = float(scorer(ltxt, rtxt))
+                    if lnums and rnums:
+                        d_s = 100.0 if (lnums & rnums) else 0.0
+                    else:
+                        d_s = 0.0
+                    g_s = None
+                    if lgeo and rlat is not None and rlon is not None:
+                        g_s = geo_score_km(
+                            haversine_km(llat, llon, rlat, rlon),
+                            max_km=max_km)
+                    conf = combine_scores(
+                        text_s, d_s, g_s,
+                        w_text=w_text, w_digits=w_digits, w_geo=w_geo)
+                    if conf >= thr:
+                        best.append((conf, rid))
+                if not best:
+                    continue
+                best.sort(key=lambda x: (-x[0], x[1]))
+                lid = ids[li]
+                for conf, rid in best[:topk]:
+                    out_l.append(lid)
+                    out_r.append(rid)
+                    out_s.append(round(conf, 2))
+                    out_k.append(key)
+        return pa.table(
+            {"left_id": pa.array(out_l, pa.string()),
+             "right_id": pa.array(out_r, pa.string()),
+             "score": pa.array(out_s, pa.float64()),
+             "block_key": pa.array(out_k, pa.string())})
 
-    return score_block
+    return score_bucket
 
 
 def find_hot_blocks(ds, text_col: str, cfg: MatchConfig) -> set[str]:
@@ -230,24 +268,16 @@ def match_datasets(left, right, cfg: MatchConfig | None = None,
     rp = _prepare_side(right, cfg, 1, cfg.right_id, rt, hot_keys)
     both = lp.union(rp)
 
-    edges = both.groupby(["block_key", "_salt"]).map_groups(
-        _make_block_scorer(cfg), batch_format="pandas"
+    # explicit partitioned hash join: groups = hash buckets (bounded
+    # by cfg.num_buckets), block/salt grouping happens inside each
+    # bucket function — the shuffle cost is one sort over the union.
+    # Coalescing blocks first nearly halves the sort wall time (many
+    # small upstream blocks inflate the sort's partition bookkeeping).
+    if cfg.shuffle_partitions:
+        both = both.repartition(cfg.shuffle_partitions)
+    edges = both.groupby("_bucket").map_groups(
+        _make_bucket_scorer(cfg), batch_format="pyarrow"
     )
-
-    def typed(batch: pa.Table) -> pa.Table:
-        if "left_id" not in batch.column_names:
-            return pa.table({"left_id": pa.array([], pa.string()),
-                             "right_id": pa.array([], pa.string()),
-                             "score": pa.array([], pa.float64())})
-        return pa.table(
-            {
-                "left_id": batch.column("left_id").cast(pa.string()),
-                "right_id": batch.column("right_id").cast(pa.string()),
-                "score": batch.column("score").cast(pa.float64()),
-            }
-        )
-
-    edges = edges.map_batches(typed, batch_format="pyarrow")
     if cfg.keep_best_per_right:
         edges = keep_best_per_right(edges)
     return edges

@@ -135,10 +135,13 @@ def normalize_dataset(
     text_col: str,
     out_col: str = "addr_norm",
     cfg: dict | None = None,
-    batch_size: int = 4096,
+    batch_size: int | None = None,
 ):
     """``pages.map_batches(normalize)`` stage — stateless tasks; rule
-    compilation amortized per worker via the module cache."""
+    compilation amortized per worker via the module cache.
+    batch_size=None => one batch per upstream block, which keeps task
+    granularity equal to the read parallelism (a fixed batch_size lets
+    Ray bundle several blocks into one task and starves the CPUs)."""
     return ds.map_batches(
         make_normalize_batch_fn(text_col, out_col, cfg),
         batch_format="pyarrow",

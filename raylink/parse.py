@@ -407,7 +407,7 @@ def make_parse_batch_fn(text_col: str, clean_col: str = "addr_clean",
 
 
 def parse_dataset(ds, text_col: str, clean_col: str = "addr_clean",
-                  parts_col: str = "parts", batch_size: int = 4096):
+                  parts_col: str = "parts", batch_size: int | None = None):
     return ds.map_batches(
         make_parse_batch_fn(text_col, clean_col, parts_col),
         batch_format="pyarrow",

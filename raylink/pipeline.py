@@ -9,7 +9,8 @@ read_parquet(pages)
   -> quality flags + validity filter (suspicious rows quarantined)
   -> split left/right views by url host
   -> blocked pairwise scoring (groupby(block_key).map_groups)
-  -> connected components (hash-min rounds)  [north-rule addition]
+  -> connected components (blocked: one groupby; generic hash-min
+     + pointer jumping available for arbitrary edge sets)
   -> unmatched anti-joins.
 """
 
@@ -119,15 +120,21 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
             "edges", {"prep": prep_fp, "match": cfg.to_dict(),
                       "hot": sorted(hot)}, _edges)
     else:
-        edges = _edges()
+        # edges feed both the clusters stage and the unmatched
+        # anti-joins — materialize so the match shuffle runs once
+        edges = _edges().materialize()
         edges_fp = None
 
     out = {"prepared": prepared, "edges": edges}
 
     if with_clusters:
         def _clusters():
-            return connected_components(
-                edges, small_threshold=cc_small_threshold)
+            # linkage edges are blocked (both endpoints share
+            # edges.block_key), so the transitive closure is one
+            # groupby shuffle — no iterative hash-min rounds needed
+            from .cluster import connected_components_blocked
+
+            return connected_components_blocked(edges)
 
         if ckpt:
             out["clusters"], _ = ckpt.run(

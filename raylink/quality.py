@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 ONLY_PUNCT_RE = r"^[\s\W_]+$"
 
 
-def add_quality_flags(ds, text_col: str, batch_size: int = 16384):
+def add_quality_flags(ds, text_col: str, batch_size: int | None = None):
     """char_len, word_len, digit_count, punct_count, is_suspicious
     (clean_and_parse.py:203-214). is_suspicious:
     char_len<10 | word_len<2 | char_len>180 | digit_count==0."""
@@ -50,7 +50,7 @@ def add_quality_flags(ds, text_col: str, batch_size: int = 16384):
 
 
 def filter_valid_text(ds, text_col: str, min_len: int = 5,
-                      batch_size: int = 16384):
+                      batch_size: int | None = None):
     """Drop null/empty/punctuation-only/too-short rows
     (clean_and_parse.py:244-247: notna, strip != "", not only-punct,
     len > 5)."""

@@ -162,6 +162,32 @@ def token_set_ratio(a: str, b: str) -> float:
     return 100.0 * best
 
 
+def token_set_ratio_from_sets(ta: set, tb: set) -> float:
+    """``token_set_ratio`` over PRE-TOKENIZED unique-token sets — the
+    hot-path variant for pairwise scoring where each row is compared
+    against many others (avoids re-splitting/re-hashing per pair).
+    Identical result to token_set_ratio(" ".join(...), ...)."""
+    if not ta and not tb:
+        return 100.0
+    inter = ta & tb
+    diff_ab = ta - tb
+    diff_ba = tb - ta
+    if inter and (not diff_ab or not diff_ba):
+        return 100.0
+    sect = " ".join(sorted(inter))
+    joined_ab = (sect + " " + " ".join(sorted(diff_ab))).strip()
+    joined_ba = (sect + " " + " ".join(sorted(diff_ba))).strip()
+    ls, lab, lba = len(sect), len(joined_ab), len(joined_ba)
+    best = 0.0
+    if ls:
+        best = max(
+            1.0 - (lab - ls) / (ls + lab),
+            1.0 - (lba - ls) / (ls + lba),
+        )
+    best = max(best, indel_ratio(joined_ab, joined_ba))
+    return 100.0 * best
+
+
 def token_sort_ratio(a: str, b: str) -> float:
     """RapidFuzz ``token_sort_ratio``: Indel ratio of the
     whitespace-sorted token joins."""

@@ -1,0 +1,129 @@
+"""Tests for the learned matchers (hashed TF-IDF + 1-NN, softmax SGD),
+weak labeling, and sources/sinks helpers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raylink.learned import (
+    HashedTfidf,
+    SoftmaxSGD,
+    classify_dataset,
+    fit_classifier_bundle,
+    fit_knn_bundle,
+    knn_label_dataset,
+)
+from raylink.sources import (
+    build_signature_text,
+    normalize_nan_strings,
+    pick_label_col,
+    pick_latlon_cols,
+    pick_text_col,
+    read_csv_tolerant,
+    stringify_parts,
+)
+from raylink.weak_label import weak_label_dataset
+
+TRAIN = [
+    ("akasya mahalle guven cadde no 12", "A"),
+    ("akasya mahalle guven cadde no 14", "A"),
+    ("akasya mah guven cad no 12 kat 2", "A"),
+    ("yildiz mahalle istiklal sokak no 3", "B"),
+    ("yildiz mah istiklal sok no 3 daire 1", "B"),
+    ("yildiz mahalle istiklal sokak no 5", "B"),
+    ("cumhuriyet bulvar no 77 konak", "C"),
+    ("cumhuriyet blv no 77 daire 9 konak izmir", "C"),
+]
+TEST = [
+    ("akasya mahallesi guven caddesi no 12", "A"),
+    ("yildiz mahallesi istiklal sk no 3", "B"),
+    ("cumhuriyet bulvari no 77 konak", "C"),
+]
+
+
+def test_hashed_tfidf_nn():
+    vec = HashedTfidf((3, 5), nbits=14).fit([t for t, _ in TRAIN])
+    m = vec.transform([t for t, _ in TRAIN])
+    # rows are unit-norm
+    norms = np.linalg.norm(m, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+    q = vec.transform([TEST[0][0]])
+    sims = (q @ m.T)[0]
+    assert TRAIN[int(np.argmax(sims))][1] == "A"
+
+
+def test_knn_label_dataset():
+    bundle = fit_knn_bundle([t for t, _ in TRAIN], [c for _, c in TRAIN],
+                            nbits=14)
+    ds = rd.from_items([{"id": i, "text": t} for i, (t, _) in
+                        enumerate(TEST)])
+    out = knn_label_dataset(ds, bundle, "text", concurrency=2).to_pandas()
+    got = dict(zip(out["id"], out["pred_label"]))
+    assert [got[i] for i in range(3)] == ["A", "B", "C"]
+    assert (out["pred_sim"] > 0.3).all()
+
+
+def test_softmax_sgd_classifier():
+    bundle = fit_classifier_bundle(
+        [t for t, _ in TRAIN], [c for _, c in TRAIN], nbits=14,
+        epochs=30, lr=1.0)
+    ds = rd.from_items([{"id": i, "text": t} for i, (t, _) in
+                        enumerate(TEST)])
+    out = classify_dataset(ds, bundle, "text", concurrency=2).to_pandas()
+    got = dict(zip(out["id"], out["pred_label"]))
+    assert [got[i] for i in range(3)] == ["A", "B", "C"]
+
+
+def test_weak_labeling():
+    ds = rd.from_items(
+        [{"text": "Akasya Mahallesi No 3 Bodrum Muğla"}])
+    out = weak_label_dataset(ds, "text", concurrency=1).to_pandas()
+    toks = list(out["tokens"][0])
+    labs = list(out["bio_labels"][0])
+    assert toks == ["akasya", "mahalle", "no", "3", "bodrum", "mugla"]
+    lab_by_tok = dict(zip(toks, labs))
+    assert lab_by_tok["mugla"] == "B-IL"
+    assert lab_by_tok["bodrum"] == "B-ILCE"
+    assert lab_by_tok["akasya"] == "O"
+
+
+def test_read_csv_tolerant_cp1254(tmp_path):
+    p = tmp_path / "tr.csv"
+    p.write_bytes("id,address\n1,Çınarlı Mah. Muğla\n".encode("cp1254"))
+    ds = read_csv_tolerant(str(p))
+    df = ds.to_pandas()
+    assert df["address"][0] == "Çınarlı Mah. Muğla"
+    # BOM header cleanup
+    p2 = tmp_path / "bom.csv"
+    p2.write_bytes("﻿id,address\n2,x sokak\n".encode("utf-8"))
+    assert "id" in read_csv_tolerant(str(p2)).schema().names
+
+
+def test_column_pickers_and_nan():
+    schema = pa.schema([("foo", pa.int64()), ("address", pa.string())])
+    assert pick_text_col(schema) == "address"
+    assert pick_text_col(pa.schema([("x", pa.int64()),
+                                    ("note", pa.string())])) == "note"
+    assert pick_label_col(["a", "label", "b"]) == "label"
+    assert pick_label_col(["a", "b"]) == "b"
+    assert pick_latlon_cols(["enlem", "boylam"]) == ("enlem", "boylam")
+    ds = rd.from_items([{"s": "nan"}, {"s": "ok"}, {"s": None}])
+    out = normalize_nan_strings(ds).to_pandas()
+    assert sorted(out["s"]) == ["", "", "ok"]
+
+
+def test_parts_stringify_and_signature():
+    from raylink.parse import PARTS_TYPE
+
+    parts = pa.array(
+        [{"mahalle": "akasya", "no": "12", "il": "mugla",
+          "confidence": 0.5}], PARTS_TYPE)
+    tbl = pa.table({"addr_norm": pa.array(["akasya mahalle no 12"]),
+                    "parts": parts})
+    ds = stringify_parts(rd.from_arrow(tbl))
+    out = build_signature_text(ds).to_pandas()
+    assert out["parts_str"][0] == "mahalle:akasya | no:12 | il:mugla"
+    assert out["signature"][0] == \
+        "akasya mahalle no 12 | mahalle:akasya | no:12 | il:mugla"
