@@ -647,6 +647,81 @@ def q_linkage_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def q_knn_label_documents(sf_dir: str):
+    """Learned matcher T1/J7: TF-IDF char-n-gram cosine 1-NN label
+    assignment — fit on even doc_ids (label = lang), predict odd ones.
+    Broadcast-bundle actor pool; rows-only check."""
+    from raylink.learned import fit_knn_bundle, knn_label_dataset
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    train = docs.filter(lambda r: r["doc_id"] % 2 == 0).take_all()
+    bundle = fit_knn_bundle([r["text"] for r in train],
+                            [r["lang"] for r in train], nbits=16)
+    test = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+    out = knn_label_dataset(test, bundle, "text", concurrency=2)
+    return out.select_columns(["doc_id", "pred_label"])
+
+
+def q_classify_documents(sf_dir: str):
+    """Learned classifier T2/T3: hashed TF-IDF + softmax SGD trained on
+    even doc_ids (label = lang), inference as an actor pool."""
+    from raylink.learned import classify_dataset, fit_classifier_bundle
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    train = docs.filter(lambda r: r["doc_id"] % 2 == 0).take_all()
+    bundle = fit_classifier_bundle(
+        [r["text"] for r in train], [r["lang"] for r in train],
+        nbits=14, epochs=8)
+    test = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+    out = classify_dataset(test, bundle, "text", concurrency=2)
+    return out.select_columns(["doc_id", "pred_label"])
+
+
+def q_weak_label_pages(sf_dir: str):
+    """M8 BIO-ish gazetteer weak labels over the pages fixture."""
+    from raylink.weak_label import weak_label_dataset
+
+    fd = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "text"])
+    return weak_label_dataset(pages, "text", concurrency=2)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary media columns -> actor-pool decode
+    stub -> fixed-size features (deterministic fake decode; the Ray
+    plumbing — schema, batch size, actor signature — is real)."""
+    from raylink.multimodal import build_media_fixture, decode_images
+
+    media = rd.from_arrow(build_media_fixture(128))
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    return decode_images(imgs, concurrency=2)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets +
+    exact verification."""
+    from raylink.dedup import embedding_near_dup_pairs
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(emb, "embedding", "vec_id",
+                                    cos_threshold=0.3)
+
+
+def q_parts_signature(sf_dir: str):
+    """M16/M17 parts stringifier + signature-text builder over parsed
+    pages."""
+    from raylink.sources import build_signature_text, stringify_parts
+
+    fd = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "text"])
+    parsed = parse_dataset(pages, "text")
+    from raylink.normalize import normalize_dataset as _nd
+
+    parsed = _nd(parsed, "text", "addr_norm")
+    out = build_signature_text(stringify_parts(parsed))
+    return out.select_columns(["url", "parts_str", "signature"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -684,6 +759,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_parse": q_pages_parse,
         "linkage_edges": q_linkage_edges,
         "linkage_clusters": q_linkage_clusters,
+        "knn_label_documents": q_knn_label_documents,
+        "classify_documents": q_classify_documents,
+        "weak_label_pages": q_weak_label_pages,
+        "media_features": q_media_features,
+        "embedding_near_dup": q_embedding_near_dup,
+        "parts_signature": q_parts_signature,
     }
 
 
