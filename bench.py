@@ -63,7 +63,7 @@ def run_bench() -> dict:
     pages = rd.read_parquet(pages_path)
     out = run_linkage(pages, match_cfg=entrymod.FIXTURE_MATCH_CFG,
                       with_clusters=True, with_unmatched=False,
-                      salt_hot_blocks=False,
+                      salt_hot_blocks=True,
                       extract_concurrency=max(4, num_cpus // 2))
     n_edges = out["edges"].count()
     n_clusters = out["clusters"].count()
