@@ -107,6 +107,33 @@ def numeric_profile(ds, col: str, by: str | None = None):
     return ds.aggregate(*aggs)
 
 
+def approx_quantiles(ds, col: str, qs: list[float],
+                     sample_per_block: int = 1024) -> list[float]:
+    """Approximate quantiles via a deterministic per-block systematic
+    sample (every ceil(n/sample_per_block)-th value of the sorted
+    block) merged on the driver — the sample/sketch pattern for G5
+    (DeepEDA.py:77-101 describe quantiles). Error shrinks with
+    sample_per_block; exact when blocks are smaller than it."""
+    import numpy as np
+
+    def sample(batch: pa.Table) -> pa.Table:
+        vals = np.sort(batch.column(col).to_numpy(zero_copy_only=False))
+        n = len(vals)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.float64())})
+        step = max(1, int(np.ceil(n / sample_per_block)))
+        return pa.table({"v": pa.array(vals[::step].astype("float64"))})
+
+    merged: list[float] = []
+    for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        merged.extend(b.column("v").to_pylist())
+    if not merged:
+        return [float("nan")] * len(qs)
+    arr = np.sort(np.asarray(merged))
+    return [float(np.quantile(arr, q)) for q in qs]
+
+
 def histogram(ds, col: str, bins: list[float]):
     """Bucketed counts (pd.cut-style, DeepEDA.py:181-191): vectorized
     bucket assignment per batch + count shuffle. Bin i covers

@@ -48,7 +48,8 @@ def split_left_right(ds, url_col: str = "url",
 def prepare_pages(pages, normalize_cfg: dict | None = None,
                   extract_concurrency: int = 4,
                   drop_suspicious: bool = True,
-                  with_parse: bool = False):
+                  with_parse: bool = False,
+                  block_by: str | None = None):
     """pages -> normalized/quality-filtered dataset with addr_norm
     (+ parsed field struct when with_parse, per the north-star's
     libpostal-style per-page field parse)."""
@@ -66,6 +67,13 @@ def prepare_pages(pages, normalize_cfg: dict | None = None,
             lambda t: t.filter(pc.invert(t.column("is_suspicious"))),
             batch_format="pyarrow",
         )
+    if block_by:
+        # compute the blocking key once here; the hot-block scan and
+        # both match sides reuse the column instead of re-deriving it
+        from .blocking import add_block_keys
+
+        ds = add_block_keys(ds, "addr_norm", block_by,
+                            allow_single_bucket=True)
     return ds
 
 
@@ -86,7 +94,8 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
     def _prepared():
         return prepare_pages(pages, normalize_cfg,
                              extract_concurrency=extract_concurrency,
-                             with_parse=with_parse)
+                             with_parse=with_parse,
+                             block_by=cfg.block_by)
 
     if ckpt:
         prepared, prep_fp = ckpt.run(
