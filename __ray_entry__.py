@@ -722,6 +722,45 @@ def q_parts_signature(sf_dir: str):
     return out.select_columns(["url", "parts_str", "signature"])
 
 
+def q_bigram_frequencies(sf_dir: str):
+    """G2 word-bigram counts, top 50 (count desc, ngram asc)."""
+    from raylink.eda import ngram_frequencies
+
+    docs = _t(sf_dir, "documents", ["text"])
+    return (
+        ngram_frequencies(docs, "text", 2)
+        .sort(["count", "ngram"], descending=[True, False])
+        .limit(50)
+    )
+
+
+def q_event_value_histogram(sf_dir: str):
+    """G5 histogram buckets over events.value (bin width 20, [0,100))."""
+    from raylink.eda import histogram
+
+    ev = _t(sf_dir, "events", ["value"])
+    return histogram(ev, "value", [0.0, 20.0, 40.0, 60.0, 80.0, 100.0])
+
+
+def q_keyword_presence(sf_dir: str):
+    """G6 keyword presence sums over documents."""
+    from raylink.eda import keyword_presence
+
+    docs = _t(sf_dir, "documents", ["text"])
+    return keyword_presence(docs, "text",
+                            ["join", "filter", "hash", "sort"])
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (winnowing-lite); identical
+    texts share fingerprints. Rows-only check."""
+    from raylink.textstats import add_fingerprint
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(docs, "text").select_columns(
+        ["doc_id", "fingerprint"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -765,6 +804,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "embedding_near_dup": q_embedding_near_dup,
         "parts_signature": q_parts_signature,
+        "bigram_frequencies": q_bigram_frequencies,
+        "event_value_histogram": q_event_value_histogram,
+        "keyword_presence": q_keyword_presence,
+        "doc_fingerprints": q_doc_fingerprints,
     }
 
 
@@ -985,6 +1028,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS count FROM documents GROUP BY lang
         """,
         "doc_lang_id": _lang_id_sql(),
+        "bigram_frequencies": r"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> t <> '') AS arr
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_transform(
+                range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1]))
+                AS ngram
+              FROM toks WHERE len(arr) >= 2
+            )
+            SELECT ngram, COUNT(*) AS count FROM grams
+            GROUP BY ngram ORDER BY count DESC, ngram ASC LIMIT 50
+        """,
+        "event_value_histogram": """
+            SELECT CAST(FLOOR(value / 20.0) AS INTEGER) AS bin,
+                   COUNT(*) AS count
+            FROM events WHERE value >= 0 AND value < 100
+            GROUP BY bin
+        """,
+        "keyword_presence": r"""
+            SELECT kw AS keyword,
+              CAST(SUM(len(regexp_extract_all(text, '\b' || kw || '\b')))
+                   AS BIGINT) AS hits
+            FROM documents
+            CROSS JOIN (SELECT unnest(['join','filter','hash','sort'])
+                        AS kw) kws
+            GROUP BY kw
+        """,
         "doc_token_counts": r"""
             SELECT doc_id,
               len(regexp_extract_all(text, '\S+')) AS ws_tokens,
