@@ -751,6 +751,33 @@ def q_keyword_presence(sf_dir: str):
                             ["join", "filter", "hash", "sort"])
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed ANN (coarse k-means centroids, n_probe lists) for
+    the same 3 query vectors as knn_bruteforce — the scale path where
+    brute force over every row is too expensive. Rows-only (IVF trades
+    recall for cost; exactness is the brute-force query's oracle)."""
+    import numpy as np
+
+    from raylink.simsearch import IVFIndex
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.array([r["embedding"] for r in emb.take(256)])
+    idx = IVFIndex(n_lists=8, n_probe=3).fit(sample)
+    assigned = idx.assign_dataset(emb, "embedding").materialize()
+    qrows = sorted((r for r in emb.take(3)), key=lambda r: r["vec_id"])
+    res = idx.search(assigned, [r["embedding"] for r in qrows],
+                     "embedding", "vec_id", k=5)
+    rows = []
+    for qi, hits in enumerate(res):
+        for rank, (hid, _) in enumerate(
+                (h for h in hits if int(h[0]) != qi), 1):
+            if rank > 4:
+                break
+            rows.append({"query_id": qi, "neighbor_id": int(hid),
+                         "rank": rank})
+    return pa.Table.from_pylist(rows)
+
+
 def q_doc_fingerprints(sf_dir: str):
     """Rolling-hash document fingerprints (winnowing-lite); identical
     texts share fingerprints. Rows-only check."""
@@ -808,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": q_event_value_histogram,
         "keyword_presence": q_keyword_presence,
         "doc_fingerprints": q_doc_fingerprints,
+        "knn_ivf": q_knn_ivf,
     }
 
 

@@ -296,13 +296,24 @@ def keep_best_per_right(edges):
     return edges.groupby("right_id").map_groups(best, batch_format="pandas")
 
 
-def unmatched(side_ds, edges, id_col: str, edge_col: str, text_col: str):
+def unmatched(side_ds, edges, id_col: str, edge_col: str, text_col: str,
+              broadcast_limit: int = 5_000_000):
     """Anti-join: rows of ``side_ds`` whose id never appears in
     ``edges[edge_col]`` (reference unmatched_left/right,
-    match.py:233-260). Edge ids are assumed driver-collectable (they
-    shrink with the match rate); the all-shuffle variant is
-    joins.shuffle_anti_join."""
-    from .joins import broadcast_anti_join
+    match.py:233-260). Small matched-id sets are broadcast (ray.put
+    once, filtered inside map_batches); above ``broadcast_limit`` rows
+    the all-shuffle anti-join is used instead."""
+    from .joins import broadcast_anti_join, shuffle_anti_join
 
-    un = broadcast_anti_join(side_ds, edges, key=id_col, keys_key=edge_col)
+    try:
+        n_edges = edges.count()
+    except Exception:  # lazy edge sets of unknown size -> assume big
+        n_edges = broadcast_limit + 1
+    if n_edges <= broadcast_limit:
+        un = broadcast_anti_join(side_ds, edges, key=id_col,
+                                 keys_key=edge_col)
+    else:
+        keys = edges.select_columns([edge_col]).map_batches(
+            lambda t: t.rename_columns([id_col]), batch_format="pyarrow")
+        un = shuffle_anti_join(side_ds, keys, on=id_col)
     return un.select_columns([id_col, text_col])
