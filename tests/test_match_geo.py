@@ -38,6 +38,27 @@ RIGHT = [
 ]
 
 
+def test_alternate_scorers_parity_with_oracle():
+    """Registry scorers beyond the default: ratio / levenshtein /
+    jaro_winkler all reproduce the single-process oracle."""
+    for scorer in ("ratio", "levenshtein", "jaro_winkler",
+                   "partial_ratio", "token_sort_ratio"):
+        cfg = MatchConfig(threshold=40.0, topk=2, scorer=scorer,
+                          block_by="prefix4", w_text=0.9, w_digits=0.1,
+                          w_geo=0.0, left_id="id", right_id="id")
+        got = match_datasets(_mk(LEFT), _mk(RIGHT), cfg,
+                             left_text_col="text",
+                             right_text_col="text").to_pandas()
+        got_set = {(l, r, s) for l, r, s in
+                   zip(got["left_id"], got["right_id"], got["score"])}
+        lrows = [{"id": i, "text": t, "lat": la, "lon": lo}
+                 for i, t, la, lo in LEFT]
+        rrows = [{"id": i, "text": t, "lat": la, "lon": lo}
+                 for i, t, la, lo in RIGHT]
+        want = set(oracle_match(lrows, rrows, cfg))
+        assert got_set == want, scorer
+
+
 def test_geo_match_parity_with_oracle():
     got = match_datasets(_mk(LEFT), _mk(RIGHT), CFG,
                          left_text_col="text", right_text_col="text")

@@ -1,0 +1,61 @@
+"""Sinks / scrubs / side outputs (S4-S9, M9) and empty-input edge
+cases."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from raylink.config import MatchConfig
+from raylink.match import match_datasets
+from raylink.quality import add_quality_flags, scrub_newlines
+from raylink.sources import write_json_records, write_side_outputs
+
+
+def test_scrub_newlines():
+    ds = rd.from_items([{"a": "x\r\ny ", "b": 1}, {"a": " z\n", "b": 2}])
+    out = scrub_newlines(ds).to_pandas().sort_values("b")
+    assert list(out["a"]) == ["x y", "z"]
+
+
+def test_side_outputs_split(tmp_path):
+    ds = rd.from_items(
+        [{"text": "good address no 12 with digits etc"},
+         {"text": "bad"}])
+    flagged = add_quality_flags(ds, "text")
+    good_dir, bad_dir = write_side_outputs(flagged, "text", str(tmp_path))
+    good = pq.read_table(good_dir)
+    bad = pq.read_table(bad_dir)
+    assert good.num_rows == 1
+    assert bad.num_rows == 1
+    assert "good" in good.column("text").to_pylist()[0]
+
+
+def test_write_json(tmp_path):
+    ds = rd.from_items([{"x": 1}, {"x": 2}])
+    out = write_json_records(ds, str(tmp_path / "j"))
+    files = os.listdir(out)
+    assert files
+    import json
+
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    assert sorted(r["x"] for r in rows) == [1, 2]
+
+
+def test_match_empty_side():
+    left = rd.from_arrow(pa.table({
+        "id": pa.array(["a"], pa.string()),
+        "text": pa.array(["akasya mahalle no 3"], pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "id": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    cfg = MatchConfig(threshold=50, block_by="prefix4",
+                      left_id="id", right_id="id")
+    edges = match_datasets(left, right, cfg, left_text_col="text",
+                           right_text_col="text").to_pandas()
+    assert len(edges) == 0
