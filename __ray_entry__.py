@@ -256,6 +256,35 @@ def q_events_tumbling_window(sf_dir: str):
     )
 
 
+def q_events_sliding_window(sf_dir: str):
+    """Sliding 2-hour windows advancing hourly: each event lands in two
+    windows (flat-map expansion + grouped aggregate)."""
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        hour = pc.multiply(pc.divide(epoch_s, 3600), 3600)
+        val_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
+        base = pa.table({"user_id": t["user_id"], "hour": hour,
+                         "value_milli": val_m})
+        w0 = pa.table({"user_id": base["user_id"],
+                       "window_start": base["hour"],
+                       "value_milli": base["value_milli"]})
+        w1 = pa.table({"user_id": base["user_id"],
+                       "window_start": pc.subtract(base["hour"], 3600),
+                       "value_milli": base["value_milli"]})
+        return pa.concat_tables([w0, w1])
+
+    return (
+        ev.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+        )
+    )
+
+
 def q_event_sessions(sf_dir: str):
     """Session windows (30-min gap) per user via sorted map_groups —
     the per-key ordered-log pattern for stream-shaped data."""
@@ -798,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": q_filter_project,
         "events_tumbling_window": q_events_tumbling_window,
         "event_sessions": q_event_sessions,
+        "events_sliding_window": q_events_sliding_window,
         "distinct_event_types": q_distinct_event_types,
         "union_sample": q_union_sample,
         "missing_report": q_missing_report,
@@ -919,6 +949,19 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n_events,
               CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY user_id, window_start
+        """,
+        "events_sliding_window": """
+            WITH expanded AS (
+              SELECT user_id,
+                (epoch_us(ts) // 1000000 // 3600) * 3600 - off
+                  AS window_start,
+                CAST(ROUND(value*1000) AS BIGINT) AS value_milli
+              FROM events
+              CROSS JOIN (SELECT unnest([0, 3600]) AS off) offs
+            )
+            SELECT user_id, window_start, COUNT(*) AS n_events,
+              CAST(SUM(value_milli) AS BIGINT) AS sum_value_milli
+            FROM expanded GROUP BY user_id, window_start
         """,
         "event_sessions": """
             WITH ordered AS (

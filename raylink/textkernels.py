@@ -45,6 +45,9 @@ def tr_safe_lower(s: str) -> str:
     """
     if not s:
         return s
+    if s.isascii():
+        # exact fast path: no İ/U+0307 possible, NFC is identity
+        return s.lower()
     s = s.replace("İ", "I").replace("̇", "")
     return unicodedata.normalize("NFC", s.lower())
 
