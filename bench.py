@@ -64,7 +64,7 @@ def run_bench() -> dict:
     out = run_linkage(pages, match_cfg=entrymod.FIXTURE_MATCH_CFG,
                       with_clusters=True, with_unmatched=False,
                       salt_hot_blocks=True,
-                      extract_concurrency=max(4, num_cpus // 2))
+                      extract_concurrency=max(4, num_cpus))
     n_edges = out["edges"].count()
     n_clusters = out["clusters"].count()
     headline = time.perf_counter() - t0

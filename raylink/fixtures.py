@@ -347,5 +347,5 @@ def entities_for_sf_dir(sf_dir: str) -> int:
     name = os.path.basename(os.path.normpath(sf_dir))
     # sf0.1 is the bench scale: large enough that compute (not
     # orchestration overhead) dominates, so throughput scales with CPUs
-    table = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 800_000}
+    table = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 1_600_000}
     return table.get(name, 2000)
