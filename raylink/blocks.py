@@ -1,0 +1,50 @@
+"""Block-level utilities: uniform-Arrow dataset rebuild.
+
+Ray Data's ``map_batches`` passes EMPTY input blocks through without
+calling the UDF or converting the batch format (see
+ray/data/_internal/planner/plan_udf_map_op.py, "For empty input blocks,
+we directly output them without calling the UDF"). A pandas-origin
+empty block — e.g. from ``groupby().map_groups(fn,
+batch_format="pandas")`` where some groups return an empty DataFrame —
+therefore survives any number of ``batch_format="pyarrow"`` stages and
+later poisons ``Dataset.join`` / ``union``, whose
+DelegatingBlockBuilder asserts a single uniform block type per output
+(``AssertionError: (BlockType.PANDAS, BlockType.ARROW)``).
+
+``ensure_arrow`` rebuilds a dataset from its blocks: empty blocks are
+dropped using metadata only (no data fetch), the rest are converted to
+Arrow in tiny per-block tasks — near-zero cost for blocks that are
+already Arrow-backed, and no driver-side materialization (block refs
+stay in the object store).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote(num_cpus=0.25)
+def _block_to_arrow(block) -> "pa.Table":
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(block).to_arrow()
+
+
+def ensure_arrow(ds, schema: pa.Schema | None = None):
+    """Return ``ds`` rebuilt with uniformly Arrow-backed, non-empty
+    blocks. Triggers execution of ``ds`` (callers that follow with an
+    iterative algorithm — e.g. connected components — materialize
+    anyway). ``schema`` supplies the result schema when every block is
+    empty (otherwise an empty zero-column dataset is returned)."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                continue
+            refs.append(_block_to_arrow.remote(block_ref))
+    if not refs:
+        empty = pa.table({}) if schema is None else schema.empty_table()
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(refs)

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Min, Sum
 
+from .blocks import ensure_arrow
+
 
 def _fnv64(s: str) -> int:
     h = 0xCBF29CE484222325
@@ -81,7 +83,10 @@ def connected_components(edges, src: str = "left_id", dst: str = "right_id",
     and is what tests/oracles exercise by default."""
     import ray.data as rd
 
-    sym = _sym_edges(edges, src, dst).materialize()
+    # ensure_arrow: pandas-origin EMPTY blocks pass through map_batches
+    # unconverted (Ray skips the UDF for empty blocks) and crash the
+    # joins below with mixed block types — rebuild as uniform Arrow.
+    sym = ensure_arrow(_sym_edges(edges, src, dst)).materialize()
     n_sym = sym.count()
 
     if n_sym == 0:

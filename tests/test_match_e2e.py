@@ -114,6 +114,37 @@ def test_clusters_are_transitive_closure(edges_result):
     assert got == want
 
 
+def test_connected_components_pandas_origin_edges():
+    """Regression (VERDICT r1 #1): edges produced by map_groups with
+    batch_format="pandas" include EMPTY pandas blocks (groups returning
+    an empty DataFrame) that Ray's map_batches passes through without
+    Arrow conversion — generic CC must not crash on mixed block types
+    inside its joins (AssertionError BlockType.PANDAS/BlockType.ARROW).
+    """
+    import pandas as pd
+
+    # chain 0-1-2-3 in group "a", pair 10-11 in group "b", singleton 20
+    # in group "c" (the singleton group yields an EMPTY pandas block)
+    src = rd.from_items(
+        [{"g": "a", "n": i} for i in range(4)]
+        + [{"g": "b", "n": i} for i in (10, 11)]
+        + [{"g": "c", "n": 20}]
+    )
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        ns = sorted(f"{int(v):04d}" for v in g["n"])
+        return pd.DataFrame(
+            {"left_id": pd.Series(ns[:-1], dtype="object"),
+             "right_id": pd.Series(ns[1:], dtype="object")})
+
+    edges = src.groupby("g").map_groups(chain, batch_format="pandas")
+    got_df = connected_components(edges).to_pandas()
+    got = dict(zip(got_df["id"], got_df["cluster_id"]))
+    pairs = [("0000", "0001"), ("0001", "0002"), ("0002", "0003"),
+             ("0010", "0011")]
+    assert got == connected_components_local(pairs)
+
+
 def test_partitioning_and_salting_invariance(fixture_data):
     pages, _, _ = fixture_data
     ds = rd.from_arrow(pages)
