@@ -128,12 +128,26 @@ def make_block_key_batch_fn(text_col: str, mode: str,
 
 
 def add_block_keys(ds, text_col: str, mode: str, out_col: str = "block_key",
-                   allow_single_bucket: bool = False, batch_size: int = 8192):
-    return ds.map_batches(
-        make_block_key_batch_fn(text_col, mode, out_col, allow_single_bucket),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+                   allow_single_bucket: bool = False, batch_size: int = 8192,
+                   reuse: bool = False):
+    """``reuse=True``: batches that already carry ``out_col`` pass
+    through untouched — callers in a pipeline that derived the key once
+    upstream (prepare_pages) must not pay the derivation again per
+    consumer (hot-block scan + both match sides re-derived it 3x in
+    round 1). CONTRACT: with reuse on, an existing column is trusted to
+    have been built with the same ``mode``."""
+    fn = make_block_key_batch_fn(text_col, mode, out_col,
+                                 allow_single_bucket)
+    if reuse:
+        inner = fn
+
+        def fn(batch: pa.Table) -> pa.Table:  # noqa: F811
+            if out_col in batch.column_names:
+                return batch
+            return inner(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=None if reuse else batch_size)
 
 
 def block_size_histogram(ds, key_col: str = "block_key"):

@@ -38,17 +38,45 @@ def _collect_key_set(keys_ds_or_iterable, key: str | None = None) -> set:
     return set(keys_ds_or_iterable)
 
 
+def _make_membership_mask_fn(key: str, ref, has_null: bool):
+    """Vectorized membership via pc.is_in (VERDICT r1 #8 replaced a
+    per-row Python loop). Nulls match iff the key set contains None —
+    same semantics as ``v in key_set``. The typed Arrow value-set is
+    built once per worker process (closure cache), not per batch."""
+    cache: dict = {}
+
+    def mask_fn(batch: pa.Table) -> pa.Array:
+        col = batch.column(key)
+        if col.type not in cache:
+            ks = ray.get(ref)
+            try:
+                cache[col.type] = pa.array(ks, type=col.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                cache[col.type] = set(ks)
+        vs = cache[col.type]
+        if isinstance(vs, set):
+            return pa.array([v in vs or (v is None and has_null)
+                             for v in col.to_pylist()])
+        mask = pc.fill_null(pc.is_in(col, value_set=vs), False)
+        if has_null:
+            mask = pc.or_(mask, pc.is_null(col))
+        return mask
+
+    return mask_fn
+
+
 def broadcast_semi_join(ds, keys, key: str, keys_key: str | None = None):
     """Keep rows whose ``key`` is in the (small) key set. The set is
     ray.put once and read per worker — broadcast, not re-shipped per
     batch."""
     key_set = _collect_key_set(keys, keys_key or key)
-    ref = ray.put(key_set)
+    has_null = None in key_set
+    ref = ray.put(sorted((k for k in key_set if k is not None), key=str))
+    mask_fn = _make_membership_mask_fn(key, ref, has_null)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        mask = pa.array([v in ks for v in batch.column(key).to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(mask_fn(batch))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 
@@ -57,12 +85,12 @@ def broadcast_anti_join(ds, keys, key: str, keys_key: str | None = None):
     """Keep rows whose ``key`` is NOT in the (small) key set — the
     reference's unmatched_left/right anti-join (match.py:233-260)."""
     key_set = _collect_key_set(keys, keys_key or key)
-    ref = ray.put(key_set)
+    has_null = None in key_set
+    ref = ray.put(sorted((k for k in key_set if k is not None), key=str))
+    mask_fn = _make_membership_mask_fn(key, ref, has_null)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        mask = pa.array([v not in ks for v in batch.column(key).to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.invert(mask_fn(batch)))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 
@@ -74,25 +102,25 @@ def shuffle_anti_join(left, right, on: str, num_partitions: int = 16):
     key set fits in memory."""
     marker = "_aj_marker"
     # distinct right keys as a Dataset (Dataset.unique returns a Python
-    # list, so dedup via per-batch distinct + groupby instead)
+    # list): per-batch arrow distinct pre-aggregation, then ONE
+    # vectorized Count aggregate — no per-distinct-key pandas groups
+    # (VERDICT r1 #6)
+    from ray.data.aggregate import Count
+
     def _distinct(batch: pa.Table) -> pa.Table:
-        t = batch.select([on]).group_by(on).aggregate([])
-        return t
-
-    import pandas as pd
-
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+        return batch.select([on]).group_by(on).aggregate([])
 
     rk = (
         right.map_batches(_distinct, batch_format="pyarrow")
         .groupby(on)
-        .map_groups(_first, batch_format="pandas")
+        .aggregate(Count(alias_name="_aj_cnt"))
     )
 
     def _mark(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            marker, pa.array([1] * batch.num_rows, pa.int8())
+        keep = batch.drop_columns(["_aj_cnt"]) \
+            if "_aj_cnt" in batch.column_names else batch
+        return keep.append_column(
+            marker, pa.array([1] * keep.num_rows, pa.int8())
         )
 
     rk = rk.map_batches(_mark, batch_format="pyarrow")

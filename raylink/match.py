@@ -19,7 +19,6 @@ salted group (exact pair coverage, no superset).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from .blocking import add_block_keys
@@ -46,18 +45,26 @@ _SIDE_COLS = ["_id", "_text", "_lat", "_lon", "block_key", "_side", "_salt"]
 
 
 def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
-                  text_col: str, hot_keys: set[str] | None):
+                  text_col: str, hot_keys=None):
     """Project to the unified side schema, add block key + salt.
-    Right-side rows in hot blocks are replicated per salt value."""
+    Right-side rows in hot blocks are replicated per salt value.
+    ``hot_keys``: a set OR an ObjectRef to one (ray.put once by
+    match_datasets; read per task instead of re-shipped in every task's
+    closure)."""
+    import ray
+
     has_geo = {"lat", "lon"}.issubset(set(ds.schema().names))
     num_salts = cfg.num_salts
-    hot = hot_keys or set()
+    hot_is_ref = isinstance(hot_keys, ray.ObjectRef)
+    hot_empty = (not hot_keys) and not hot_is_ref
 
-    ds = add_block_keys(ds, text_col, cfg.block_by, allow_single_bucket=True)
+    ds = add_block_keys(ds, text_col, cfg.block_by,
+                        allow_single_bucket=True, reuse=True)
 
     num_buckets = cfg.num_buckets
 
     def project(batch: pa.Table) -> pa.Table:
+        hot = (ray.get(hot_keys) if hot_is_ref else hot_keys) or set()
         n = batch.num_rows
         ids = batch.column(id_col).cast(pa.string())
         texts = batch.column(text_col).cast(pa.string())
@@ -79,7 +86,7 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
             }
         )
         key_list = keys.to_pylist()
-        if not hot:
+        if hot_empty or not hot:
             base = base.append_column(
                 "_salt", pa.array([0] * n, pa.int32()))
             buckets = [_fnv64(f"{k}|0") % num_buckets for k in key_list]
@@ -234,7 +241,7 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig) -> set[str]:
     from .blocking import block_size_histogram
 
     keyed = add_block_keys(ds, text_col, cfg.block_by,
-                           allow_single_bucket=True)
+                           allow_single_bucket=True, reuse=True)
     hist = block_size_histogram(keyed)
     hot: set[str] = set()
     for b in hist.iter_batches(batch_format="pyarrow"):
@@ -261,11 +268,14 @@ def match_datasets(left, right, cfg: MatchConfig | None = None,
 
         return positional_join(left, right, cfg.left_id, cfg.right_id)
 
-    if hot_keys is None:
-        hot_keys = set()
+    # broadcast the hot-key set once (ray.put) instead of capturing it
+    # in every projection task's closure
+    import ray as _ray
 
-    lp = _prepare_side(left, cfg, 0, cfg.left_id, lt, hot_keys)
-    rp = _prepare_side(right, cfg, 1, cfg.right_id, rt, hot_keys)
+    hot_ref = _ray.put(frozenset(hot_keys)) if hot_keys else None
+
+    lp = _prepare_side(left, cfg, 0, cfg.left_id, lt, hot_ref)
+    rp = _prepare_side(right, cfg, 1, cfg.right_id, rt, hot_ref)
     both = lp.union(rp)
 
     # explicit partitioned hash join: groups = hash buckets (bounded
@@ -283,17 +293,37 @@ def match_datasets(left, right, cfg: MatchConfig | None = None,
     return edges
 
 
-def keep_best_per_right(edges):
+def keep_best_per_right(edges, num_buckets: int = 256):
     """Best single left per right id — documented-but-unimplemented in
     the reference (README-ARCHITECTURE.md:85,213; K2 in SURVEY §2.6).
-    Tiebreak (score desc, left_id asc) for determinism."""
+    Tiebreak (score desc, left_id asc) for determinism.
 
-    def best(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", "left_id"],
-                              ascending=[False, True])
-        return g.head(1)
+    Scale shape (VERDICT r1 #5): grouping directly by right_id makes
+    one pandas group per distinct right id (~1ms each); instead shuffle
+    into <= ``num_buckets`` hash buckets and resolve each bucket with
+    ONE vectorized sort + drop_duplicates."""
 
-    return edges.groupby("right_id").map_groups(best, batch_format="pandas")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        rb = [_fnv64(r) % num_buckets
+              for r in batch.column("right_id").to_pylist()]
+        return batch.append_column("_rb", pa.array(rb, pa.int32()))
+
+    def best_in_bucket(bucket: pa.Table) -> pa.Table:
+        if "right_id" not in bucket.column_names or bucket.num_rows == 0:
+            return (bucket.drop_columns(["_rb"])
+                    if "_rb" in bucket.column_names else bucket)
+        df = bucket.to_pandas()
+        df = df.sort_values(["score", "left_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.drop_duplicates("right_id", keep="first")
+        return pa.Table.from_pandas(df.drop(columns=["_rb"]),
+                                    preserve_index=False)
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(best_in_bucket, batch_format="pyarrow")
+    )
 
 
 def unmatched(side_ds, edges, id_col: str, edge_col: str, text_col: str,

@@ -227,3 +227,24 @@ def test_checkpoint_resume(tmp_path):
 
     lt = pq.read_table(f"{lineage_dir}/lineage.parquet")
     assert lt.num_rows == 2
+
+
+def test_add_block_keys_reuse_skips_recompute():
+    """VERDICT r1 #7: with reuse=True an existing block_key column is
+    trusted (sentinel values survive), so a pipeline derives the key
+    exactly once; without reuse the column is recomputed."""
+    from raylink.blocking import add_block_keys
+
+    ds = rd.from_items(
+        [{"t": "ankara caddesi 5", "block_key": "SENTINEL"}])
+    kept = add_block_keys(ds, "t", "prefix4", allow_single_bucket=True,
+                          reuse=True).take_all()
+    assert kept[0]["block_key"] == "SENTINEL"
+    fresh = add_block_keys(ds, "t", "prefix4", allow_single_bucket=True,
+                           reuse=False).take_all()
+    assert fresh[0]["block_key"] == "anka"
+    # reuse=True on a dataset WITHOUT the column still derives it
+    ds2 = rd.from_items([{"t": "ankara caddesi 5"}])
+    derived = add_block_keys(ds2, "t", "prefix4",
+                             allow_single_bucket=True, reuse=True).take_all()
+    assert derived[0]["block_key"] == "anka"
