@@ -514,34 +514,73 @@ def q_doc_quality_score(sf_dir: str):
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """D4 n-gram Jaccard near-dup over same-lang candidate pairs with
-    close lengths (|n_chars diff| <= 3); jaccard at 1e-6 precision."""
-    docs = _t(sf_dir, "documents",
-              ["doc_id", "text", "lang", "n_chars"]).materialize()
-    small = docs.to_pandas()
+    close lengths (|n_chars diff| <= 3); jaccard at 1e-6 precision.
 
-    def pairs_for_lang(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        li, ri, jac = [], [], []
-        arr = list(zip(g["doc_id"], g["text"], g["n_chars"]))
-        for i in range(len(arr)):
-            for j in range(i + 1, len(arr)):
-                if abs(int(arr[i][2]) - int(arr[j][2])) > 3:
+    Distributed shape (VERDICT r1 #5 removed the round-1 driver
+    materialize+to_pandas): docs are replicated into length band
+    b = n_chars // 4 and band b-1, groups are (lang, band) co-shuffled
+    once; a pair is OWNED by band min(b_l, b_r) — since |diff| <= 3 <
+    band width the two bands differ by at most one, so every qualifying
+    pair meets exactly once (replica-replica pairs are skipped, they
+    belong to the next band up)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    band_width = 4
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        langs = t.column("lang").to_pylist()
+        nch = t.column("n_chars").to_pylist()
+        oi, ot, ol, on, ob, op = [], [], [], [], [], []
+        for i, tx, lg, n in zip(ids, texts, langs, nch):
+            b = int(n) // band_width
+            for g, primary in ((b, True), (b - 1, False)):
+                if g < 0:
                     continue
-                v = ngram_jaccard(arr[i][1], arr[j][1], 3)
-                if v >= 0.15:
-                    li.append(int(arr[i][0]))
-                    ri.append(int(arr[j][0]))
-                    jac.append(int(np.floor(v * 1e6)))
-        return pd.DataFrame(
-            {
-                "left_id": pd.Series(li, dtype="int64"),
-                "right_id": pd.Series(ri, dtype="int64"),
-                "jaccard_e6": pd.Series(jac, dtype="int64"),
-            }
-        )
+                oi.append(int(i))
+                ot.append(tx)
+                ol.append(lg)
+                on.append(int(n))
+                ob.append(g)
+                op.append(primary)
+        return pa.table({
+            "doc_id": pa.array(oi, pa.int64()),
+            "text": pa.array(ot, pa.string()),
+            "lang": pa.array(ol, pa.string()),
+            "n_chars": pa.array(on, pa.int64()),
+            "band": pa.array(ob, pa.int64()),
+            "primary": pa.array(op, pa.bool_()),
+        })
 
-    return rd.from_pandas(small).groupby("lang").map_groups(
-        pairs_for_lang, batch_format="pandas")
+    def pairs_in_group(g: pa.Table) -> pa.Table:
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "jaccard_e6": pa.array([], pa.int64())})
+        if "doc_id" not in g.column_names or g.num_rows == 0:
+            return empty
+        rows = sorted(zip(g.column("doc_id").to_pylist(),
+                          g.column("text").to_pylist(),
+                          g.column("n_chars").to_pylist(),
+                          g.column("primary").to_pylist()))
+        li, ri, jac = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                # replica-replica pairs are owned by the band above
+                if not rows[i][3] and not rows[j][3]:
+                    continue
+                if abs(rows[i][2] - rows[j][2]) > 3:
+                    continue
+                v = ngram_jaccard(rows[i][1], rows[j][1], 3)
+                if v >= 0.15:
+                    li.append(rows[i][0])
+                    ri.append(rows[j][0])
+                    jac.append(int(np.floor(v * 1e6)))
+        return pa.table({"left_id": pa.array(li, pa.int64()),
+                         "right_id": pa.array(ri, pa.int64()),
+                         "jaccard_e6": pa.array(jac, pa.int64())})
+
+    return docs.map_batches(to_bands, batch_format="pyarrow").groupby(
+        ["lang", "band"]).map_groups(pairs_in_group, batch_format="pyarrow")
 
 
 def q_cc_chain_clusters(sf_dir: str):
@@ -631,9 +670,30 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs (Hamming <= 3). Rows-only check."""
+    """SimHash near-dup pairs (Hamming <= 3). Exact SQL oracle: with
+    max_hamming 3 < 4 bands, pigeonhole makes LSH recall 1.0, so the
+    oracle is simply every pair with bit_count(xor(simhash_l,
+    simhash_r)) <= 3 — the md5-based token hash is replicated in
+    DuckDB. Ids zero-padded for banding so string order == numeric
+    order, then cast back to int64."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(docs, "text", "doc_id")
+
+    def pad_ids(t: pa.Table) -> pa.Table:
+        padded = [f"{int(i):08d}" for i in t.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": pa.array(padded, pa.string()),
+                         "text": t.column("text")})
+
+    pairs = simhash_pairs(docs.map_batches(pad_ids, batch_format="pyarrow"),
+                          "text", "doc_id")
+
+    def toint(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "left_id": pc.cast(t["left_id"], pa.int64()),
+            "right_id": pc.cast(t["right_id"], pa.int64()),
+            "hamming": pc.cast(t["hamming"], pa.int64()),
+        })
+
+    return pairs.map_batches(toint, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -732,8 +792,13 @@ def q_embedding_near_dup(sf_dir: str):
     from raylink.dedup import embedding_near_dup_pairs
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # threshold 0.3 is a LOW bar (theta ~ 0.4*pi): per-table match
+    # p = 0.6^3 ~ 0.21, OR-amplified over 12 tables -> recall ~ 0.94
+    # (measured against brute force in
+    # tests/test_operators.py::test_embedding_near_dup_recall)
     return embedding_near_dup_pairs(emb, "embedding", "vec_id",
-                                    cos_threshold=0.3)
+                                    cos_threshold=0.3,
+                                    num_hyperplanes=3, num_tables=12)
 
 
 def q_parts_signature(sf_dir: str):
@@ -1208,6 +1273,34 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 4
+        """,
+        "simhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(list_filter(
+                  regexp_split_to_array(lower(text), '\s+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), bits AS (
+              SELECT doc_id, i,
+                SUM(CASE WHEN
+                  ((('0x'||substr(md5(tok),1,16))::UBIGINT >> i) & 1) = 1
+                  THEN 1 ELSE -1 END) AS acc
+              FROM toks CROSS JOIN range(64) r(i)
+              GROUP BY doc_id, i
+            ), sh0 AS (
+              SELECT doc_id,
+                SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << i)
+                    ELSE 0::UBIGINT END)::UBIGINT AS simhash
+              FROM bits GROUP BY doc_id
+            ), sh AS (
+              SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
+              FROM documents d LEFT JOIN sh0 s USING (doc_id)
+            )
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+              bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+            FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
         """,
         "minhash_pairs": r"""
             WITH prep AS (
