@@ -808,10 +808,20 @@ def q_knn_label_documents(sf_dir: str):
     from raylink.learned import fit_knn_bundle, knn_label_dataset
 
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
-    train = docs.filter(lambda r: r["doc_id"] % 2 == 0).take_all()
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+
+    # train split is the small side by design: collected once on the
+    # driver for the fit, then broadcast (ray.put inside the bundle)
+    train = docs.map_batches(even, batch_format="pyarrow").take_all()
     bundle = fit_knn_bundle([r["text"] for r in train],
-                            [r["lang"] for r in train], nbits=16)
-    test = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+                            [r["lang"] for r in train], nbits=16,
+                            word_ngram_range=(1, 2))
+    test = docs.map_batches(odd, batch_format="pyarrow")
     out = knn_label_dataset(test, bundle, "text", concurrency=2)
     return out.select_columns(["doc_id", "pred_label"])
 
@@ -822,11 +832,18 @@ def q_classify_documents(sf_dir: str):
     from raylink.learned import classify_dataset, fit_classifier_bundle
 
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
-    train = docs.filter(lambda r: r["doc_id"] % 2 == 0).take_all()
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+
+    train = docs.map_batches(even, batch_format="pyarrow").take_all()
     bundle = fit_classifier_bundle(
         [r["text"] for r in train], [r["lang"] for r in train],
-        nbits=14, epochs=8)
-    test = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+        nbits=14, epochs=8, word_ngram_range=(1, 2))
+    test = docs.map_batches(odd, batch_format="pyarrow")
     out = classify_dataset(test, bundle, "text", concurrency=2)
     return out.select_columns(["doc_id", "pred_label"])
 

@@ -1,20 +1,31 @@
-"""Learned matchers: hashed char-n-gram TF-IDF + brute cosine 1-NN and
-a numpy logistic (SGD) classifier — the Ray-native reimplementation of
-the reference's learned baselines (T1-T3 in SURVEY §2.3):
+"""Learned matchers: hashed TF-IDF (char and word n-gram channels,
+base + side text) + brute cosine 1-NN, and a numpy softmax (SGD)
+classifier — the Ray-native reimplementation of the reference's
+learned baselines (T1-T3 in SURVEY §2.3):
 
 - TF-IDF char 3-5-gram vectorizer + brute cosine KNN
   (reference addresskit/matching/string_similarity.py:5-20,
   addresskit/match_baseline.py:22-36, scripts/baseline_submission.py:94-109)
+- dual-channel (char + word) base + side-signature feature union
+  (reference scripts/train_baseline.py:64-130 hstacks 4 vectorizers)
 - SGD logistic classifier train + predict
   (reference scripts/train_baseline.py:133-207)
 
-No sklearn/scipy in this environment, so the vectorizer uses feature
-hashing (dimension 2**nbits) with an idf fitted over the train corpus,
-and the classifier is a softmax regression trained with minibatch SGD
-in numpy. The Ray pattern is the important part: FIT on the driver
-(train side is the small side), ``ray.put`` the model ONCE, then
-map_batches with an actor pool whose __init__ does ray.get — the
+No sklearn/scipy in this environment, so each channel uses feature
+hashing (its own 2**nbits slice of the concatenated space — the hstack
+equivalent) with an idf fitted over the train corpus, and the
+classifier is a softmax regression trained with minibatch SGD in
+numpy. The Ray pattern is the important part: FIT on the driver (train
+side is the small side), ``ray.put`` the model ONCE, then map_batches
+with an actor pool whose __init__ does ray.get — the
 broadcast-small-side lookup join, never re-shipped per batch.
+
+Memory shape (VERDICT r1 #8): inference is SPARSE end-to-end — the
+per-batch transform emits COO (row, col, value) triples (O(nnz), not
+O(batch x 2**nbits) dense: 1 GB/batch at the round-1 defaults), the
+train matrix is broadcast as CSC arrays, and cosine similarities are
+scatter-accumulated over the shared columns only. The dense
+``transform`` remains for small driver-side fits.
 """
 
 from __future__ import annotations
@@ -27,32 +38,47 @@ import pyarrow as pa
 import ray
 
 
-def _ngram_indices(text: str, lo: int, hi: int, nbits: int) -> np.ndarray:
-    """Hashed char n-gram feature ids for n in [lo, hi]."""
+def _ngram_indices(text: str, lo: int, hi: int, nbits: int,
+                   analyzer: str = "char") -> np.ndarray:
+    """Hashed n-gram feature ids for n in [lo, hi]. ``analyzer``:
+    "char" slides over characters of the whitespace-squeezed text;
+    "word" slides over whitespace tokens (n-grams joined by a space)."""
     t = " ".join((text or "").lower().split())
     mask = (1 << nbits) - 1
     idx = []
-    for n in range(lo, hi + 1):
-        if len(t) < n:
-            continue
-        for i in range(len(t) - n + 1):
-            h = hashlib.blake2b(t[i:i + n].encode("utf-8"),
-                                digest_size=8).digest()
-            idx.append(int.from_bytes(h, "big") & mask)
+    if analyzer == "word":
+        toks = t.split()
+        for n in range(lo, hi + 1):
+            if len(toks) < n:
+                continue
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                h = hashlib.blake2b(g.encode("utf-8"),
+                                    digest_size=8).digest()
+                idx.append(int.from_bytes(h, "big") & mask)
+    else:
+        for n in range(lo, hi + 1):
+            if len(t) < n:
+                continue
+            for i in range(len(t) - n + 1):
+                h = hashlib.blake2b(t[i:i + n].encode("utf-8"),
+                                    digest_size=8).digest()
+                idx.append(int.from_bytes(h, "big") & mask)
     return np.asarray(idx, dtype=np.int64)
 
 
 class HashedTfidf:
-    """Feature-hashing char-n-gram TF-IDF (dim 2**nbits).
+    """Feature-hashing n-gram TF-IDF for ONE channel (dim 2**nbits).
 
-    fit() computes document frequencies -> idf; transform() returns
-    L2-normalized dense rows (dense is fine: dim defaults to 2^18 but
-    transform emits (n, dim) float32 on demand per batch)."""
+    fit() computes document frequencies -> idf. transform_coo() is the
+    sparse path (per-row L2-normalized COO triples); transform() emits
+    dense rows for small driver-side uses only."""
 
     def __init__(self, ngram_range: tuple[int, int] = (3, 5),
-                 nbits: int = 18):
+                 nbits: int = 18, analyzer: str = "char"):
         self.lo, self.hi = ngram_range
         self.nbits = nbits
+        self.analyzer = analyzer
         self.dim = 1 << nbits
         self.idf: np.ndarray | None = None
 
@@ -60,69 +86,218 @@ class HashedTfidf:
         df = np.zeros(self.dim, dtype=np.int64)
         n = 0
         for t in texts:
-            ids = np.unique(_ngram_indices(t, self.lo, self.hi, self.nbits))
+            ids = np.unique(_ngram_indices(t, self.lo, self.hi,
+                                           self.nbits, self.analyzer))
             df[ids] += 1
             n += 1
         self.idf = np.log((1.0 + n) / (1.0 + df)) + 1.0
         return self
 
-    def transform(self, texts) -> np.ndarray:
+    def row_coo(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """(cols, values) of the L2-normalized tf-idf row."""
         assert self.idf is not None, "fit first"
+        ids = _ngram_indices(text, self.lo, self.hi, self.nbits,
+                             self.analyzer)
+        if len(ids) == 0:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32))
+        uniq, counts = np.unique(ids, return_counts=True)
+        vals = (counts * self.idf[uniq]).astype(np.float32)
+        norm = np.linalg.norm(vals)
+        if norm > 0:
+            vals = vals / norm
+        return uniq, vals
+
+    def transform_coo(self, texts):
+        """COO triples (rows, cols, vals) over len(texts) rows."""
+        rows, cols, vals = [], [], []
+        for r, t in enumerate(texts):
+            c, v = self.row_coo(t)
+            rows.append(np.full(len(c), r, dtype=np.int64))
+            cols.append(c)
+            vals.append(v)
+        return (np.concatenate(rows) if rows else np.empty(0, np.int64),
+                np.concatenate(cols) if cols else np.empty(0, np.int64),
+                np.concatenate(vals) if vals else np.empty(0, np.float32))
+
+    def transform(self, texts) -> np.ndarray:
+        """Dense (len(texts), dim) — driver-side fits only; inference
+        uses the sparse path."""
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         for r, t in enumerate(texts):
-            ids = _ngram_indices(t, self.lo, self.hi, self.nbits)
-            if len(ids) == 0:
-                continue
-            uniq, counts = np.unique(ids, return_counts=True)
-            row = counts * self.idf[uniq]
-            norm = np.linalg.norm(row)
-            if norm > 0:
-                out[r, uniq] = row / norm
+            c, v = self.row_coo(t)
+            out[r, c] = v
         return out
+
+
+class MultiChannelTfidf:
+    """Feature union of hashed TF-IDF channels — the reference's
+    hstack of base-char, base-word, side-char, side-word vectorizers
+    (train_baseline.py:64-130). Each channel owns a contiguous
+    2**nbits slice of the concatenated space; channel rows are
+    L2-normalized individually (sklearn TfidfVectorizer semantics under
+    hstack), then the concatenated row is normalized to unit so dot
+    products are true cosines.
+
+    ``channels``: list of (source_index, analyzer, ngram_range, nbits);
+    ``source_index`` picks which parallel text list (e.g. 0 = base
+    text, 1 = side signature) feeds the channel."""
+
+    def __init__(self, channels):
+        self.specs = list(channels)
+        self.vecs = [HashedTfidf(ngram_range=ng, nbits=nb, analyzer=an)
+                     for (_src, an, ng, nb) in self.specs]
+        self.offsets = np.cumsum(
+            [0] + [v.dim for v in self.vecs])[:-1]
+        self.dim = int(sum(v.dim for v in self.vecs))
+
+    def fit(self, columns: list[list[str]]) -> "MultiChannelTfidf":
+        for (src, _an, _ng, _nb), vec in zip(self.specs, self.vecs):
+            vec.fit(columns[src])
+        return self
+
+    def transform_coo(self, columns: list[list[str]]):
+        n = len(columns[0])
+        rows, cols, vals = [], [], []
+        for r in range(n):
+            ch_cols, ch_vals = [], []
+            for (src, _an, _ng, _nb), vec, off in zip(
+                    self.specs, self.vecs, self.offsets):
+                c, v = vec.row_coo(columns[src][r])
+                ch_cols.append(c + off)
+                ch_vals.append(v)
+            c = np.concatenate(ch_cols)
+            v = np.concatenate(ch_vals)
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                v = v / norm
+            rows.append(np.full(len(c), r, dtype=np.int64))
+            cols.append(c)
+            vals.append(v.astype(np.float32))
+        return (np.concatenate(rows) if rows else np.empty(0, np.int64),
+                np.concatenate(cols) if cols else np.empty(0, np.int64),
+                np.concatenate(vals) if vals else np.empty(0, np.float32))
+
+
+def _coo_to_csc(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                dim: int):
+    """(indptr[dim+1], row_idx, data) sorted by column."""
+    order = np.argsort(cols, kind="stable")
+    cols_s = cols[order]
+    indptr = np.zeros(dim + 1, dtype=np.int64)
+    np.add.at(indptr, cols_s + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, rows[order].astype(np.int64), vals[order]
+
+
+def _multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(s, s+l) per (s, l), fully vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends_cum = np.cumsum(lens)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(ends_cum - lens, lens)
+            + np.repeat(starts, lens))
+
+
+def _sparse_sims(q_rows, q_cols, q_vals, csc, n_q: int,
+                 n_train: int) -> np.ndarray:
+    """(n_q, n_train) cosine sims of unit COO queries against a unit
+    CSC train matrix, touching only the queries' nonzero columns."""
+    indptr, t_rows, t_vals = csc
+    starts = indptr[q_cols]
+    lens = (indptr[q_cols + 1] - starts)
+    gather = _multi_arange(starts, lens)
+    sims = np.zeros((n_q, n_train), dtype=np.float32)
+    if len(gather):
+        rq = np.repeat(q_rows, lens)
+        vq = np.repeat(q_vals, lens)
+        np.add.at(sims, (rq, t_rows[gather]), vq * t_vals[gather])
+    return sims
 
 
 class KnnPredict:
     """Actor-pool stage: cosine 1-NN label assignment against a
-    broadcast (vectorizer, train matrix, labels) bundle — the J7
-    semi-join-like lookup. Bundle loaded ONCE per actor in __init__."""
+    broadcast (vectorizer, CSC train matrix, labels) bundle — the J7
+    semi-join-like lookup. Bundle loaded ONCE per actor in __init__;
+    per-batch work is sparse (O(nnz) memory, never batch x dim)."""
 
-    def __init__(self, bundle_ref, text_col: str, k: int = 1):
+    def __init__(self, bundle_ref, text_col: str, side_col: str | None = None,
+                 k: int = 1):
         bundle = ray.get(bundle_ref)
-        self.vec: HashedTfidf = bundle["vectorizer"]
-        self.train = bundle["matrix"]          # (n_train, dim) unit rows
+        self.vec: MultiChannelTfidf = bundle["vectorizer"]
+        self.csc = bundle["csc"]
+        self.n_train = bundle["n_train"]
         self.labels = bundle["labels"]
         self.text_col = text_col
+        self.side_col = side_col
         self.k = k
 
+    def _columns(self, batch: pa.Table) -> list[list[str]]:
+        cols = [batch.column(self.text_col).to_pylist()]
+        if self.side_col is not None:
+            cols.append(batch.column(self.side_col).to_pylist())
+        return cols
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        q = self.vec.transform(texts)          # unit rows
-        sims = q @ self.train.T                # (b, n_train)
+        columns = self._columns(batch)
+        n = len(columns[0])
+        qr, qc, qv = self.vec.transform_coo(columns)
+        sims = _sparse_sims(qr, qc, qv, self.csc, n, self.n_train)
         best = np.argmax(sims, axis=1)
         pred = [self.labels[i] for i in best]
-        sim = sims[np.arange(len(texts)), best]
+        sim = sims[np.arange(n), best]
         batch = batch.append_column(
             "pred_label", pa.array(pred))
         return batch.append_column(
             "pred_sim", pa.array(sim.astype(np.float64)))
 
 
+def _default_channels(ngram_range, nbits, word_ngram_range, word_nbits,
+                      with_side: bool):
+    channels = [(0, "char", tuple(ngram_range), nbits)]
+    if word_ngram_range is not None:
+        channels.append((0, "word", tuple(word_ngram_range), word_nbits))
+    if with_side:
+        channels.append((1, "char", tuple(ngram_range), nbits))
+        if word_ngram_range is not None:
+            channels.append(
+                (1, "word", tuple(word_ngram_range), word_nbits))
+    return channels
+
+
 def fit_knn_bundle(train_texts, train_labels,
-                   ngram_range=(3, 5), nbits: int = 18):
-    """Driver-side fit -> ray.put object ref for the actor pool."""
-    vec = HashedTfidf(ngram_range, nbits).fit(train_texts)
-    mat = vec.transform(train_texts)
-    return ray.put({"vectorizer": vec, "matrix": mat,
+                   ngram_range=(3, 5), nbits: int = 18,
+                   word_ngram_range: tuple[int, int] | None = None,
+                   word_nbits: int = 16,
+                   side_texts=None):
+    """Driver-side fit -> ray.put object ref for the actor pool.
+    ``word_ngram_range`` adds the word-gram channel; ``side_texts``
+    (aligned with train_texts) adds the side-signature channels —
+    together the reference's 4-vectorizer union."""
+    train_texts = list(train_texts)
+    columns = [train_texts]
+    if side_texts is not None:
+        columns.append(list(side_texts))
+    vec = MultiChannelTfidf(_default_channels(
+        ngram_range, nbits, word_ngram_range, word_nbits,
+        side_texts is not None)).fit(columns)
+    rows, cols, vals = vec.transform_coo(columns)
+    csc = _coo_to_csc(rows, cols, vals, vec.dim)
+    return ray.put({"vectorizer": vec, "csc": csc,
+                    "n_train": len(train_texts),
                     "labels": list(train_labels)})
 
 
 def knn_label_dataset(ds, bundle_ref, text_col: str,
+                      side_col: str | None = None,
                       concurrency: int = 4, batch_size: int = 1024):
     """1-NN label assignment over a Dataset (reference
     baseline_submission.py:104-109 flow)."""
     return ds.map_batches(
         KnnPredict,
-        fn_constructor_args=(bundle_ref, text_col),
+        fn_constructor_args=(bundle_ref, text_col, side_col),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -168,32 +343,57 @@ class SoftmaxSGD:
     def predict(self, x: np.ndarray) -> np.ndarray:
         return np.argmax(x @ self.w + self.b, axis=1)
 
+    def predict_coo(self, rows, cols, vals, n: int) -> np.ndarray:
+        """Sparse inference: logits accumulated from the W rows of the
+        query's nonzero columns only."""
+        logits = np.tile(self.b, (n, 1)).astype(np.float32)
+        if len(rows):
+            np.add.at(logits, rows, vals[:, None] * self.w[cols])
+        return np.argmax(logits, axis=1)
+
 
 class ClassifierPredict:
     """Actor-pool inference stage for the trained classifier
-    (T3 inference: map_batches(ScorerActor, concurrency=N))."""
+    (T3 inference: map_batches(ScorerActor, concurrency=N));
+    sparse per-batch transform + W-row gather."""
 
-    def __init__(self, bundle_ref, text_col: str):
+    def __init__(self, bundle_ref, text_col: str,
+                 side_col: str | None = None):
         bundle = ray.get(bundle_ref)
-        self.vec: HashedTfidf = bundle["vectorizer"]
+        self.vec: MultiChannelTfidf = bundle["vectorizer"]
         self.model: SoftmaxSGD = bundle["model"]
         self.classes = bundle["classes"]
         self.text_col = text_col
+        self.side_col = side_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        x = self.vec.transform(texts)
-        pred = self.model.predict(x)
+        columns = [batch.column(self.text_col).to_pylist()]
+        if self.side_col is not None:
+            columns.append(batch.column(self.side_col).to_pylist())
+        n = len(columns[0])
+        qr, qc, qv = self.vec.transform_coo(columns)
+        pred = self.model.predict_coo(qr, qc, qv, n)
         return batch.append_column(
             "pred_label", pa.array([self.classes[i] for i in pred]))
 
 
 def fit_classifier_bundle(train_texts, train_labels,
                           ngram_range=(3, 5), nbits: int = 16,
-                          **sgd_kwargs):
-    """Driver-side TF-IDF fit + SGD train -> broadcast ref."""
-    vec = HashedTfidf(ngram_range, nbits).fit(train_texts)
-    x = vec.transform(train_texts)
+                          word_ngram_range: tuple[int, int] | None = None,
+                          word_nbits: int = 14,
+                          side_texts=None, **sgd_kwargs):
+    """Driver-side TF-IDF fit + SGD train -> broadcast ref. The dense
+    train matrix is driver-side only (train is the small split)."""
+    train_texts = list(train_texts)
+    columns = [train_texts]
+    if side_texts is not None:
+        columns.append(list(side_texts))
+    vec = MultiChannelTfidf(_default_channels(
+        ngram_range, nbits, word_ngram_range, word_nbits,
+        side_texts is not None)).fit(columns)
+    rows, cols, vals = vec.transform_coo(columns)
+    x = np.zeros((len(train_texts), vec.dim), dtype=np.float32)
+    x[rows, cols] = vals
     classes = sorted(set(train_labels))
     cls_idx = {c: i for i, c in enumerate(classes)}
     y = np.asarray([cls_idx[c] for c in train_labels])
@@ -202,10 +402,11 @@ def fit_classifier_bundle(train_texts, train_labels,
 
 
 def classify_dataset(ds, bundle_ref, text_col: str,
+                     side_col: str | None = None,
                      concurrency: int = 4, batch_size: int = 1024):
     return ds.map_batches(
         ClassifierPredict,
-        fn_constructor_args=(bundle_ref, text_col),
+        fn_constructor_args=(bundle_ref, text_col, side_col),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -127,3 +127,42 @@ def test_parts_stringify_and_signature():
     assert out["parts_str"][0] == "mahalle:akasya | no:12 | il:mugla"
     assert out["signature"][0] == \
         "akasya mahalle no 12 | mahalle:akasya | no:12 | il:mugla"
+
+
+def test_knn_dual_channel_with_side_signature():
+    """VERDICT r1 #2 (missing): the reference hstacks char+word
+    vectorizers over base AND side text (train_baseline.py:64-130);
+    here the side channel is the M17-style signature string and must
+    influence the 1-NN result: base texts are identical across classes,
+    only the signature separates them."""
+    base = ["no 5 center street"] * 4
+    side = ["mahalle:akasya | il:mugla", "mahalle:akasya | il:mugla",
+            "mahalle:yildiz | il:izmir", "mahalle:yildiz | il:izmir"]
+    labels = ["A", "A", "B", "B"]
+    bundle = fit_knn_bundle(base, labels, nbits=12,
+                            word_ngram_range=(1, 2), word_nbits=12,
+                            side_texts=side)
+    ds = rd.from_items([
+        {"id": 0, "text": "no 5 center street",
+         "sig": "mahalle:akasya | il:mugla"},
+        {"id": 1, "text": "no 5 center street",
+         "sig": "mahalle:yildiz | il:izmir"},
+    ])
+    out = knn_label_dataset(ds, bundle, "text", side_col="sig",
+                            concurrency=1).to_pandas()
+    got = dict(zip(out["id"], out["pred_label"]))
+    assert got[0] == "A" and got[1] == "B"
+
+
+def test_sparse_transform_matches_dense():
+    """The sparse COO path must agree with the dense transform."""
+    from raylink.learned import MultiChannelTfidf
+
+    texts = [t for t, _ in TRAIN]
+    vec = HashedTfidf((3, 5), nbits=12).fit(texts)
+    dense = vec.transform(texts)
+    mc = MultiChannelTfidf([(0, "char", (3, 5), 12)]).fit([texts])
+    r, c, v = mc.transform_coo([texts])
+    recon = np.zeros_like(dense)
+    recon[r, c] = v
+    assert np.allclose(dense, recon, atol=1e-6)
