@@ -718,6 +718,16 @@ def q_pages_parse(sf_dir: str):
          "kat", "il", "ilce", "confidence"])
 
 
+def q_random_sample(sf_dir: str):
+    """K5 native seeded random sampling (Dataset.random_sample) — the
+    role of the reference's df.sample / train_test_split
+    (DeepEDA.py:120-121, compare_train_clean_vs_lowconf.py:46-49).
+    Not SQL-expressible (sampler RNG), so rows-only; seed determinism
+    is asserted in tests/test_operators.py."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return docs.random_sample(0.2, seed=1234)
+
+
 LINKAGE_SQL_CFG = MatchConfig(
     scorer="levenshtein", block_by="prefix6", threshold=70.0, topk=2,
     w_text=1.0, w_digits=0.0, w_geo=0.0,
@@ -1004,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": q_linkage_clusters,
         "linkage_edges_sql": q_linkage_edges_sql,
         "linkage_clusters_sql": q_linkage_clusters_sql,
+        "random_sample": q_random_sample,
         "knn_label_documents": q_knn_label_documents,
         "classify_documents": q_classify_documents,
         "weak_label_pages": q_weak_label_pages,

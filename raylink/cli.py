@@ -43,6 +43,14 @@ def main(argv=None) -> int:
     p.add_argument("--no-clusters", action="store_true")
     p.add_argument("--no-unmatched", action="store_true")
     p.add_argument("--no-salting", action="store_true")
+    p.add_argument("--preview", action="store_true",
+                   help="write out/preview: first 1000 edges joined "
+                        "back to both side texts "
+                        "(ref make_match_preview.py:15-30)")
+    p.add_argument("--gold-edges", default=None,
+                   help="parquet of gold (left_id, right_id) pairs; "
+                        "adds pairwise precision/recall/F1 to the "
+                        "report (ref scripts/eval.py:21-27)")
     args = p.parse_args(argv)
 
     import ray
@@ -96,6 +104,27 @@ def main(argv=None) -> int:
             rd.read_parquet(target).count() if os.path.isdir(target)
             and os.listdir(target) else 0
         )
+    if args.preview:
+        from .pipeline import split_left_right
+        from .report import match_preview
+
+        left, right = split_left_right(out["prepared"])
+        target = os.path.join(args.out, "preview")
+        match_preview(
+            out["edges"], left, right,
+            left_id=match_cfg.left_id, right_id=match_cfg.right_id,
+        ).write_parquet(target)
+        report["preview"] = (
+            rd.read_parquet(target).count() if os.path.isdir(target)
+            and os.listdir(target) else 0
+        )
+
+    if args.gold_edges:
+        from .report import pairwise_eval
+
+        report["eval"] = pairwise_eval(
+            out["edges"], rd.read_parquet(args.gold_edges))
+
     report["wall_s"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(report))
 

@@ -10,6 +10,9 @@ __init__ — broadcast, never re-shipped per batch.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyarrow as pa
 
 import ray
@@ -17,12 +20,56 @@ import ray
 from .normalize import get_normalizer
 from .parse import CITY_HINTS, DISTRICT_HINTS, IL_SET
 
+_DEFAULT_GAZ_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "configs", "gazetteers.json")
+
+
+def load_gazetteers(path: str) -> dict:
+    """Load gazetteers from a JSON file — the reference loads its posta
+    hierarchy JSONs the same way (weak_labeling.py:15-19). Accepted
+    shapes: {"mahalle": [...], "il": [...], "ilce": [...]} (missing
+    keys fall back to the built-in hint sets), or a plain mapping whose
+    KEYS are neighborhood names (the reference's mahalle->hierarchy
+    index). Entries are normalized with the default normalizer; for
+    multi-word entries the first token is indexed (the labeler tags
+    single tokens)."""
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    norm = get_normalizer(None)
+
+    def index(entries) -> set:
+        out = set()
+        for e in entries:
+            toks = norm(str(e)).split()
+            if toks:
+                out.add(toks[0])
+        return out
+
+    if isinstance(data, dict) and \
+            not ({"mahalle", "il", "ilce"} & set(data)):
+        # mahalle -> hierarchy mapping: keys are the index
+        return {"mahalle_index": index(data.keys()),
+                "il": set(IL_SET) | set(CITY_HINTS),
+                "ilce": set(DISTRICT_HINTS)}
+    return {
+        "mahalle_index": index(data.get("mahalle") or ()),
+        "il": (index(data["il"]) if data.get("il")
+               else set(IL_SET) | set(CITY_HINTS)),
+        "ilce": (index(data["ilce"]) if data.get("ilce")
+                 else set(DISTRICT_HINTS)),
+    }
+
 
 def default_gazetteers() -> dict:
-    """Built-in stand-ins for the reference's posta hierarchy JSONs
-    (which are not shipped in the reference repo either)."""
+    """Gazetteers from the packaged ``configs/gazetteers.json`` (a
+    deterministic stand-in for the reference's posta hierarchy JSONs,
+    which its repo does not ship either) — non-empty mahalle index so
+    B-MAHALLE can fire by default; built-in il/ilce hint sets."""
+    if os.path.exists(_DEFAULT_GAZ_PATH):
+        return load_gazetteers(_DEFAULT_GAZ_PATH)
     return {
-        "mahalle_index": set(),            # neighborhood index
+        "mahalle_index": set(),
         "il": set(IL_SET) | set(CITY_HINTS),
         "ilce": set(DISTRICT_HINTS),
     }
@@ -68,8 +115,12 @@ class WeakLabel:
 
 def weak_label_dataset(ds, text_col: str = "text", gazetteers: dict | None = None,
                        normalize_cfg: dict | None = None,
+                       gazetteer_path: str | None = None,
                        concurrency: int = 2, batch_size: int = 2048):
-    ref = ray.put(gazetteers or default_gazetteers())
+    if gazetteers is None:
+        gazetteers = (load_gazetteers(gazetteer_path) if gazetteer_path
+                      else default_gazetteers())
+    ref = ray.put(gazetteers)
     return ds.map_batches(
         WeakLabel,
         fn_constructor_kwargs={"gazetteer_ref": ref,

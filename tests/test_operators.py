@@ -280,3 +280,49 @@ def test_embedding_near_dup_recall():
     # analytic floor ~0.90 at cos=0.3 with 3 planes x 12 tables;
     # measured on this fixture: 0.939 (864 of 920 true pairs)
     assert recall >= 0.9, (recall, len(truth))
+
+
+def test_random_sample_seeded_determinism():
+    """K5 (VERDICT r1 missing #3): native Dataset.random_sample with a
+    seed is deterministic for a fixed block layout."""
+    ds = rd.range(1000)
+    a = sorted(r["id"] for r in ds.random_sample(0.1, seed=7).take_all())
+    b = sorted(r["id"] for r in ds.random_sample(0.1, seed=7).take_all())
+    assert a == b
+    assert 40 <= len(a) <= 200
+    c = sorted(r["id"] for r in ds.random_sample(0.1, seed=8).take_all())
+    assert c != a
+
+
+def test_match_preview_and_pairwise_eval():
+    """Preview joins edges back to both side texts (ref
+    make_match_preview.py:15-30); pairwise_eval computes the F13
+    metrics (ref scripts/eval.py:21-27)."""
+    from raylink.report import match_preview, pairwise_eval
+
+    edges = rd.from_items([
+        {"left_id": "l1", "right_id": "r1", "score": 95.0},
+        {"left_id": "l2", "right_id": "r2", "score": 88.0},
+    ])
+    left = rd.from_items([
+        {"url": "l1", "addr_norm": "akasya mahalle no 1"},
+        {"url": "l2", "addr_norm": "yildiz sokak no 2"},
+        {"url": "l3", "addr_norm": "unused"},
+    ])
+    right = rd.from_items([
+        {"url": "r1", "addr_norm": "akasya mah no 1"},
+        {"url": "r2", "addr_norm": "yildiz sk no 2"},
+    ])
+    prev = match_preview(edges, left, right).to_pandas()
+    assert len(prev) == 2
+    by_left = dict(zip(prev["left_id"], prev["right_text"]))
+    assert by_left["l1"] == "akasya mah no 1"
+    assert by_left["l2"] == "yildiz sk no 2"
+
+    gold = rd.from_items([
+        {"left_id": "l1", "right_id": "r1"},   # hit
+        {"left_id": "l9", "right_id": "r9"},   # miss -> fn
+    ])
+    m = pairwise_eval(edges, gold)
+    assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
+    assert abs(m["f1"] - 0.5) < 1e-9
