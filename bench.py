@@ -70,6 +70,14 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
     timings["linkage_e2e"] = round(headline, 3)
 
+    # drop the pinned linkage datasets (materialized prepared + 4.4M
+    # edges) before the secondary pipelines: holding them in the object
+    # store roughly doubled minhash's in-bench wall vs standalone
+    del out, pages
+    import gc
+
+    gc.collect()
+
     secondary = [
         ("pricing_summary", entrymod.q_pricing_summary),
         ("revenue_by_nation", entrymod.q_revenue_by_nation),

@@ -339,6 +339,34 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str,
     # one shuffle into <= num_group_buckets groups; (band, band_hash)
     # sub-buckets are dict-grouped inside the function (per-group pandas
     # overhead at one group per band hash was the round-1 pitfall)
+    def _sub_bucket_pairs(ids, sigs: np.ndarray, nsh: np.ndarray,
+                          band: int, left: list, right: list,
+                          chunk: int = 128):
+        """Vectorized pair scan for one (band, band_hash) sub-bucket:
+        component equality, band ownership, size-ratio and estimate
+        pregates all evaluated as numpy masks — no per-pair Python.
+        Row-chunked so peak memory is chunk x n x num_perm bools."""
+        n = len(ids)
+        sigr = sigs.reshape(n, bands, rows_per_band)
+        nsh_min = np.minimum(nsh[:, None], nsh[None, :])
+        nsh_max = np.maximum(nsh[:, None], nsh[None, :])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio_ok = np.where(
+                nsh_min > 0, nsh_min / np.maximum(nsh_max, 1)
+                >= jaccard_threshold, True)
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            cmp = sigr[i0:i1, None, :, :] == sigr[None, :, :, :]
+            band_eq = cmp.all(axis=3)                    # (c, n, bands)
+            est = cmp.reshape(i1 - i0, n, num_perm).mean(axis=2)
+            first_band = np.argmax(band_eq, axis=2)      # first True index
+            own = band_eq.any(axis=2) & (first_band == band)
+            mask = (own & (est >= est_cutoff) & ratio_ok[i0:i1]
+                    & (np.arange(n)[None, :] > np.arange(i0, i1)[:, None]))
+            for x, y in np.argwhere(mask):
+                left.append(ids[i0 + x])
+                right.append(ids[y])
+
     def bucket_candidates(g: pa.Table) -> pa.Table:
         empty = pa.table({"left_id": pa.array([], pa.string()),
                           "right_id": pa.array([], pa.string())})
@@ -352,35 +380,16 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str,
         subs: dict[tuple, dict] = {}
         for b, h, i, sg, ns in zip(bandv, hashv, idv, sigv, nshv):
             subs.setdefault((b, h), {})[i] = (sg, ns)
-        sig_cache: dict[str, np.ndarray] = {}
-
-        def sig_of(i, raw):
-            s = sig_cache.get(i)
-            if s is None:
-                s = sig_cache[i] = np.frombuffer(raw, dtype=np.uint64)
-            return s
-
-        left, right = [], []
+        left: list = []
+        right: list = []
         for (band, _h), docs in subs.items():
             if len(docs) < 2:
                 continue
             ids = sorted(docs)
-            for x in range(len(ids)):
-                rx, nx = docs[ids[x]]
-                sx = sig_of(ids[x], rx)
-                for y in range(x + 1, len(ids)):
-                    ry, ny = docs[ids[y]]
-                    eq = sx == sig_of(ids[y], ry)
-                    band_eq = eq.reshape(bands, rows_per_band).all(axis=1)
-                    if band_eq[:band].any():
-                        continue  # an earlier band already owns the pair
-                    if nx and ny and \
-                            min(nx, ny) / max(nx, ny) < jaccard_threshold:
-                        continue  # size-ratio upper bound on Jaccard
-                    if float(eq.mean()) < est_cutoff:
-                        continue  # signature estimate far below threshold
-                    left.append(ids[x])
-                    right.append(ids[y])
+            sigs = np.stack([np.frombuffer(docs[i][0], dtype=np.uint64)
+                             for i in ids])
+            nsh = np.array([docs[i][1] for i in ids], dtype=np.float64)
+            _sub_bucket_pairs(ids, sigs, nsh, band, left, right)
         return pa.table({"left_id": pa.array(left, pa.string()),
                          "right_id": pa.array(right, pa.string())})
 

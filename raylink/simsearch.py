@@ -137,18 +137,54 @@ class IVFIndex:
 
         return ds.map_batches(assign, batch_format="pyarrow")
 
+    def _probe_lists(self, qm: np.ndarray) -> set[int]:
+        probe = np.argsort(-(qm @ self.centroids.T),
+                           axis=1)[:, : self.n_probe]
+        return {int(v) for row in probe for v in row}
+
     def search(self, ds_assigned, queries, vec_col: str, id_col: str,
                k: int = 5):
-        """Probe only the n_probe nearest lists per query."""
+        """Probe only the n_probe nearest lists per query (vectorized
+        pc.is_in filter over the assigned column — a full scan; use
+        ``write_partitioned`` + ``search_partitioned`` to prune at the
+        READ instead when the index lives on disk)."""
+        import pyarrow.compute as pc
+
         qm = _unit(_as_matrix(queries))
-        probe = np.argsort(-(qm @ self.centroids.T), axis=1)[:, : self.n_probe]
-        probe_sets = [set(map(int, row)) for row in probe]
-        wanted: set[int] = set().union(*probe_sets)
+        wanted = pa.array(sorted(self._probe_lists(qm)), pa.int32())
 
         def keep(batch: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [v in wanted for v in batch.column("ivf_list").to_pylist()])
-            return batch.filter(mask)
+            return batch.filter(pc.fill_null(
+                pc.is_in(batch.column("ivf_list"), value_set=wanted),
+                False))
 
         filtered = ds_assigned.map_batches(keep, batch_format="pyarrow")
         return knn_bruteforce(filtered, qm, vec_col, id_col, k=k)
+
+    def write_partitioned(self, ds_assigned, path: str) -> None:
+        """Persist the assigned dataset hive-partitioned by ivf_list
+        (one directory per coarse list) so searches read ONLY the
+        probed partitions from storage — the 100TB path the in-memory
+        ``search`` full scan cannot give."""
+        ds_assigned.write_parquet(path, partition_cols=["ivf_list"])
+
+    def search_partitioned(self, path: str, queries, vec_col: str,
+                           id_col: str, k: int = 5):
+        """Partition-pruned search: list the probed ``ivf_list=<n>``
+        directories and read_parquet only those."""
+        import os
+
+        import ray.data as rd
+
+        qm = _unit(_as_matrix(queries))
+        files: list[str] = []
+        for l in sorted(self._probe_lists(qm)):
+            d = os.path.join(path, f"ivf_list={l}")
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f) for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet"))
+        if not files:
+            return [[] for _ in range(qm.shape[0])]
+        return knn_bruteforce(rd.read_parquet(files), qm, vec_col,
+                              id_col, k=k)

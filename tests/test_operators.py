@@ -326,3 +326,23 @@ def test_match_preview_and_pairwise_eval():
     m = pairwise_eval(edges, gold)
     assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
     assert abs(m["f1"] - 0.5) < 1e-9
+
+
+def test_ivf_partitioned_search(tmp_path):
+    """The partition-pruned IVF path (read only probed ivf_list=<n>
+    directories) must agree with the in-memory filtered search."""
+    rng = np.random.RandomState(3)
+    mat = rng.randn(80, 8)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": list(map(float, v))}
+         for i, v in enumerate(mat)])
+    idx = IVFIndex(n_lists=8, n_probe=3).fit(mat)
+    assigned = idx.assign_dataset(ds, "embedding")
+    out = str(tmp_path / "ivf")
+    idx.write_partitioned(assigned, out)
+
+    queries = mat[:2]
+    mem = idx.search(assigned, queries, "embedding", "vec_id", k=4)
+    disk = idx.search_partitioned(out, queries, "embedding", "vec_id", k=4)
+    assert [[i for i, _ in hits] for hits in mem] == \
+           [[i for i, _ in hits] for hits in disk]
