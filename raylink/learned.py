@@ -401,6 +401,33 @@ def fit_classifier_bundle(train_texts, train_labels,
     return ray.put({"vectorizer": vec, "model": model, "classes": classes})
 
 
+def svd_project(x: np.ndarray, k: int = 256, seed: int = 42,
+                power_iters: int = 2):
+    """Driver-side randomized truncated SVD + L2 row normalization —
+    the reference's TruncatedSVD(256) + Normalizer low-rank fast path
+    (compare_train_clean_vs_lowconf.py:52-106). Small-split only (it
+    densifies (k+8, dim) scratch); deterministic given the seed.
+
+    Returns (z, vt): ``z`` the L2-normalized (n, k) projection of
+    ``x``; project new rows with ``new @ vt.T`` (then normalize)."""
+    rng = np.random.RandomState(seed)
+    n, d = x.shape
+    k = min(k, n, d)
+    omega = rng.randn(d, k + 8).astype(np.float32)
+    y = x @ omega
+    for _ in range(power_iters):
+        y, _ = np.linalg.qr(y)
+        y = x @ (x.T @ y)
+    q, _ = np.linalg.qr(y)
+    b = q.T @ x                       # (k+8, d)
+    _ub, s, vt = np.linalg.svd(b, full_matrices=False)
+    vt = vt[:k]
+    z = x @ vt.T
+    norms = np.linalg.norm(z, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (z / norms).astype(np.float32), vt.astype(np.float32)
+
+
 def classify_dataset(ds, bundle_ref, text_col: str,
                      side_col: str | None = None,
                      concurrency: int = 4, batch_size: int = 1024):

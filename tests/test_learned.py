@@ -195,3 +195,22 @@ def test_sparse_transform_matches_dense():
     recon = np.zeros_like(dense)
     recon[r, c] = v
     assert np.allclose(dense, recon, atol=1e-6)
+
+
+def test_svd_project_low_rank():
+    """Randomized SVD fast path (reference TruncatedSVD(256) +
+    Normalizer role): recovers a low-rank structure, deterministic
+    given the seed, rows unit-normalized."""
+    from raylink.learned import svd_project
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 6) @ rng.randn(6, 300)   # rank 6
+    z1, vt1 = svd_project(base.astype(np.float32), k=6, seed=9)
+    z2, vt2 = svd_project(base.astype(np.float32), k=6, seed=9)
+    assert np.allclose(z1, z2) and np.allclose(vt1, vt2)
+    assert z1.shape == (40, 6) and vt1.shape == (6, 300)
+    assert np.allclose(np.linalg.norm(z1, axis=1), 1.0, atol=1e-5)
+    # rank-6 input -> 6 components reconstruct (almost) exactly
+    recon = (base @ vt1.T) @ vt1
+    rel = np.linalg.norm(base - recon) / np.linalg.norm(base)
+    assert rel < 1e-4, rel

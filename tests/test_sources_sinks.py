@@ -59,3 +59,34 @@ def test_match_empty_side():
     edges = match_datasets(left, right, cfg, left_text_col="text",
                            right_text_col="text").to_pandas()
     assert len(edges) == 0
+
+
+def test_extract_vectorized_matches_per_row():
+    """The whole-batch fast path must be byte-identical to the per-row
+    decode chain — including entity unescape, article-less docs, a
+    UTF-8 BOM, and the cp1254 fallback (which forces the slow path)."""
+    import pyarrow as pa
+
+    from raylink.extract import ExtractText
+
+    ex = ExtractText()
+    docs = [
+        "<html><body><article>caf&amp; ok &lt;x&gt;</article></body></html>"
+        .encode("utf-8"),
+        "<html><body>no article &amp; tags</body></html>".encode("utf-8"),
+        "﻿<html><body>bom no article</body></html>".encode("utf-8"),
+        None,
+        "<html><article>çğış UTF</article></html>".encode("utf-8"),
+    ]
+    want = [ex.extract_one(d) for d in docs]
+    batch = pa.table({"html": pa.array(docs, pa.binary())})
+    got = ex(batch).column("text_extracted").to_pylist()
+    assert got == want
+
+    # cp1254 page in the batch -> utf-8 cast fails -> per-row fallback
+    docs2 = docs + ["<html><article>Çınarlı Muğla</article></html>"
+                    .encode("cp1254")]
+    want2 = [ex.extract_one(d) for d in docs2]
+    batch2 = pa.table({"html": pa.array(docs2, pa.binary())})
+    got2 = ex(batch2).column("text_extracted").to_pylist()
+    assert got2 == want2
