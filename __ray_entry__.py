@@ -84,7 +84,8 @@ def entry() -> Any:
     """Flagship linkage pipeline at sf0.001 scale; returns the edges
     Dataset (left_id, right_id, score)."""
     fd = _pages_fixture("/root/testdata/sf0.001")
-    pages = rd.read_parquet(f"{fd}/pages.parquet")
+    pages = rd.read_parquet(f"{fd}/pages.parquet",
+                            columns=["url", "html"])
     out = run_linkage(pages, match_cfg=FIXTURE_MATCH_CFG,
                       with_clusters=False, with_unmatched=False,
                       salt_hot_blocks=False)
@@ -795,7 +796,8 @@ def q_linkage_clusters_sql(sf_dir: str):
 
 def q_linkage_edges(sf_dir: str):
     fd = _pages_fixture(sf_dir)
-    pages = rd.read_parquet(f"{fd}/pages.parquet")
+    pages = rd.read_parquet(f"{fd}/pages.parquet",
+                            columns=["url", "html"])
     out = run_linkage(pages, match_cfg=FIXTURE_MATCH_CFG,
                       with_clusters=False, with_unmatched=False,
                       salt_hot_blocks=False)
@@ -804,7 +806,8 @@ def q_linkage_edges(sf_dir: str):
 
 def q_linkage_clusters(sf_dir: str):
     fd = _pages_fixture(sf_dir)
-    pages = rd.read_parquet(f"{fd}/pages.parquet")
+    pages = rd.read_parquet(f"{fd}/pages.parquet",
+                            columns=["url", "html"])
     out = run_linkage(pages, match_cfg=FIXTURE_MATCH_CFG,
                       with_clusters=True, with_unmatched=False,
                       salt_hot_blocks=False)

@@ -248,9 +248,122 @@ def _make_bucket_scorer(cfg: MatchConfig):
     return score_bucket
 
 
+def match_tagged(tagged, cfg: MatchConfig | None = None,
+                 text_col: str | None = None, id_col: str | None = None,
+                 side_col: str = "_side",
+                 hot_keys=None):
+    """Single-pass variant of :func:`match_datasets` for a
+    SOURCE-TAGGED dataset (``side_col``: 0 = left, 1 = right): ONE
+    projection over the tagged stream replaces two filtered scans +
+    union, so the whole linkage chain (read -> extract -> parse ->
+    project -> shuffle -> score) streams with no mid-pipeline
+    materialization barrier. Emits the same edges as
+    match_datasets(left, right) over the same rows; requires both
+    sides to share the id column."""
+    import ray
+
+    cfg = cfg or MatchConfig()
+    tcol = text_col or cfg.text_col
+    icol = id_col or cfg.left_id
+    num_salts = cfg.num_salts
+    num_buckets = cfg.num_buckets
+    hot_ref = ray.put(frozenset(hot_keys)) if hot_keys else None
+
+    ds = add_block_keys(tagged, tcol, cfg.block_by,
+                        allow_single_bucket=True, reuse=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref) if hot_ref is not None else frozenset()
+        n = batch.num_rows
+        cols = batch.column_names
+        has_geo = "lat" in cols and "lon" in cols
+        ids = batch.column(icol).cast(pa.string())
+        texts = batch.column(tcol).cast(pa.string())
+        keys = batch.column("block_key")
+        sides = batch.column(side_col).cast(pa.int8())
+        if has_geo:
+            lats = batch.column("lat").cast(pa.float64())
+            lons = batch.column("lon").cast(pa.float64())
+        else:
+            lats = pa.nulls(n, pa.float64())
+            lons = pa.nulls(n, pa.float64())
+        base = pa.table(
+            {"_id": ids, "_text": texts, "_lat": lats, "_lon": lons,
+             "block_key": keys, "_side": sides})
+        key_list = keys.to_pylist()
+        if not hot:
+            base = base.append_column(
+                "_salt", pa.array([0] * n, pa.int32()))
+            buckets = [_fnv64(f"{k}|0") % num_buckets for k in key_list]
+            return base.append_column(
+                "_bucket", pa.array(buckets, pa.int32()))
+        side_list = sides.to_pylist()
+        id_list = ids.to_pylist()
+        idx: list[int] = []
+        salts: list[int] = []
+        for row, (k, sd) in enumerate(zip(key_list, side_list)):
+            if k in hot:
+                if sd == 0:
+                    idx.append(row)
+                    salts.append(_fnv64(id_list[row]) % num_salts)
+                else:
+                    for s in range(num_salts):
+                        idx.append(row)
+                        salts.append(s)
+            else:
+                idx.append(row)
+                salts.append(0)
+        base = base.take(pa.array(idx, pa.int64()))
+        key_take = base.column("block_key").to_pylist()
+        base = base.append_column("_salt", pa.array(salts, pa.int32()))
+        buckets = [
+            _fnv64(f"{k}|{s}") % num_buckets
+            for k, s in zip(key_take, salts)
+        ]
+        return base.append_column("_bucket", pa.array(buckets, pa.int32()))
+
+    both = ds.map_batches(project, batch_format="pyarrow")
+    if cfg.shuffle_partitions:
+        both = both.repartition(cfg.shuffle_partitions)
+    edges = both.groupby("_bucket").map_groups(
+        _make_bucket_scorer(cfg), batch_format="pyarrow")
+    if cfg.keep_best_per_right:
+        edges = keep_best_per_right(edges)
+    return edges
+
+
+def _sample_blocks(ds, fraction: float, seed: int):
+    """Deterministic block-level sample of an ALREADY-EXECUTED dataset
+    -> (sampled_dataset, actual_row_fraction), or (None, 0) when the
+    dataset is lazy (sampling would trigger a full execution)."""
+    import numpy as np
+    import ray.data as rdm
+
+    try:
+        if not ds._plan.has_computed_output():
+            return None, 0.0
+        refs, rows = [], []
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                if meta.num_rows:
+                    refs.append(ref)
+                    rows.append(meta.num_rows)
+        if len(refs) < 8:
+            return None, 0.0
+        total = float(sum(rows))
+        rng = np.random.RandomState(seed)
+        keep = max(4, int(len(refs) * fraction))
+        idx = sorted(rng.choice(len(refs), size=keep, replace=False))
+        actual = sum(rows[i] for i in idx) / total
+        return rdm.from_arrow_refs([refs[i] for i in idx]), actual
+    except Exception:
+        return None, 0.0
+
+
 def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
                     sample_fraction: float = 0.1,
-                    seed: int = 42) -> set[str]:
+                    seed: int = 42,
+                    cutoff_scale: float = 1.0) -> set[str]:
     """Block keys whose row count exceeds cfg.salt_over (small result,
     collected to the driver and broadcast into the salting stage).
 
@@ -260,15 +373,29 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
     with probability ~1 (Poisson tail ~1e-4 at the boundary), so the
     skew scan costs a tenth of a full pass — the full pass was 15s of
     a 99s pipeline while finding zero hot keys (r2 measurement). Pass
-    ``sample_fraction=1.0`` for the exact scan."""
+    ``sample_fraction=1.0`` for the exact scan.
+
+    ``cutoff_scale``: pass the (fraction x safety) factor when ``ds``
+    was ALREADY sampled upstream (e.g. a 10% page sample fed through
+    prepare) and sample_fraction=1.0 here."""
     from .blocking import block_size_histogram
 
+    cutoff = float(cfg.salt_over) * cutoff_scale
+    if 0 < sample_fraction < 1.0:
+        sampled, actual = _sample_blocks(ds, sample_fraction, seed)
+        if sampled is not None:
+            # block-level sample: reads only ~fraction of the blocks
+            # (a row sample still scans every block). ASSUMPTION: row
+            # order is uncorrelated with block key (true for pages in
+            # crawl order); a hot key's rows then spread over many
+            # blocks and its sampled count concentrates sharply.
+            ds = sampled
+            cutoff = cfg.salt_over * actual * 0.5
+        else:
+            ds = ds.random_sample(sample_fraction, seed=seed)
+            cutoff = cfg.salt_over * sample_fraction * 0.5
     keyed = add_block_keys(ds, text_col, cfg.block_by,
                            allow_single_bucket=True, reuse=True)
-    cutoff = float(cfg.salt_over)
-    if 0 < sample_fraction < 1.0:
-        keyed = keyed.random_sample(sample_fraction, seed=seed)
-        cutoff = cfg.salt_over * sample_fraction * 0.5
     hist = block_size_histogram(keyed)
     hot: set[str] = set()
     for b in hist.iter_batches(batch_format="pyarrow"):

@@ -45,21 +45,57 @@ def split_left_right(ds, url_col: str = "url",
     )
 
 
+def tag_sides(ds, url_col: str = "url",
+              left_prefix: str = "https://siteL",
+              right_prefix: str = "https://siteR"):
+    """Single-pass alternative to :func:`split_left_right`: append
+    ``_side`` (0 = left, 1 = right) and drop rows matching neither
+    prefix — the tagged stream feeds :func:`raylink.match.match_tagged`
+    without scanning the prepared data twice."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column(url_col)
+        is_l = pc.starts_with(u, left_prefix)
+        is_r = pc.starts_with(u, right_prefix)
+        side = pc.if_else(
+            is_l, pa.scalar(0, pa.int8()),
+            pc.if_else(is_r, pa.scalar(1, pa.int8()),
+                       pa.scalar(-1, pa.int8())))
+        batch = batch.append_column("_side", side)
+        return batch.filter(pc.greater_equal(batch.column("_side"), 0))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def prepare_pages(pages, normalize_cfg: dict | None = None,
                   extract_concurrency: int = 4,
                   drop_suspicious: bool = True,
                   with_parse: bool = False,
-                  block_by: str | None = None):
+                  block_by: str | None = None,
+                  slim: bool = True):
     """pages -> normalized/quality-filtered dataset with addr_norm
     (+ parsed field struct when with_parse, per the north-star's
-    libpostal-style per-page field parse)."""
+    libpostal-style per-page field parse).
+
+    ``slim`` (default): raw inputs are dropped as soon as the last
+    consumer has run — html right after extraction, text_extracted
+    right after normalize/parse — so the materialized `prepared`
+    artifact and every downstream exchange carry only the product
+    columns (url, addr_norm, parts, quality flags). The html column
+    alone was ~half the materialized bytes. slim=False keeps
+    everything (tests assert the byte-identical extract invariant
+    through prepared)."""
     ds = extract_dataset(pages, concurrency=extract_concurrency)
+    if slim:
+        ds = ds.drop_columns(["html"])
     ds = normalize_dataset(ds, "text_extracted", "addr_norm",
                            normalize_cfg or DEFAULT_NORMALIZE_CFG)
     if with_parse:
         from .parse import parse_dataset
 
         ds = parse_dataset(ds, "text_extracted")
+    if slim:
+        ds = ds.drop_columns(["text_extracted"])
     ds = add_quality_flags(ds, "addr_norm")
     ds = filter_valid_text(ds, "addr_norm")
     if drop_suspicious:
@@ -97,6 +133,12 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
                              with_parse=with_parse,
                              block_by=cfg.block_by)
 
+    # NOTE on the streaming alternative: a fully-lazy single DAG (no
+    # prepared materialize) was measured SLOWER here — the match sort
+    # is an all-to-all barrier anyway, and in one plan the extract
+    # actor pool keeps its reserved CPUs alive through the shuffle.
+    # The staged design (materialize the slim prepared once, then one
+    # tagged scan into the shuffle) wins on both wall time and reuse.
     if ckpt:
         prepared, prep_fp = ckpt.run(
             "prepared",
@@ -111,13 +153,22 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
         prep_fp = fingerprint({"normalize": normalize_cfg or
                                DEFAULT_NORMALIZE_CFG})
 
-    left, right = split_left_right(prepared)
-
     hot: set[str] = set()
     if salt_hot_blocks:
         hot = find_hot_blocks(prepared, "addr_norm", cfg)
 
+    tagged_path = (cfg.left_id == cfg.right_id and cfg.method != "index")
+
     def _edges():
+        if tagged_path:
+            # one tagged scan of prepared instead of two filtered
+            # scans + union
+            from .match import match_tagged
+
+            return match_tagged(
+                tag_sides(prepared), cfg, text_col="addr_norm",
+                id_col=cfg.left_id, hot_keys=hot)
+        left, right = split_left_right(prepared)
         return match_datasets(
             left, right, cfg,
             left_text_col="addr_norm", right_text_col="addr_norm",
@@ -152,6 +203,7 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
             out["clusters"] = _clusters()
 
     if with_unmatched and cfg.write_unmatched:
+        left, right = split_left_right(prepared)
         out["unmatched_left"] = unmatched(
             left, edges, "url", "left_id", "addr_norm")
         out["unmatched_right"] = unmatched(
@@ -163,5 +215,6 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
 
 
 def run_linkage_from_dir(fixture_dir: str, **kwargs):
-    pages = rd.read_parquet(f"{fixture_dir}/pages.parquet")
+    pages = rd.read_parquet(f"{fixture_dir}/pages.parquet",
+                            columns=["url", "html"])
     return run_linkage(pages, **kwargs)
