@@ -719,6 +719,34 @@ def q_pages_parse(sf_dir: str):
          "kat", "il", "ilce", "confidence"])
 
 
+def q_near_dup_dedup(sf_dir: str):
+    """End-to-end near-duplicate REMOVAL (the operator a training-data
+    pipeline runs): MinHash-LSH verified pairs at Jaccard >= 0.85 ->
+    generic distributed connected components -> keep the min-doc_id
+    document per duplicate cluster. Ids zero-padded so the engine's
+    string-min canonical equals the oracle's numeric min."""
+    from raylink.dedup import near_dup_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        padded = [f"{int(i):08d}" for i in t.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": pa.array(padded, pa.string()),
+                         "text": t.column("text"),
+                         "lang": t.column("lang")})
+
+    kept = near_dup_dedup(docs.map_batches(pad, batch_format="pyarrow"),
+                          "text", "doc_id", jaccard_threshold=0.85)
+
+    def toint(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": t["lang"],
+        })
+
+    return kept.map_batches(toint, batch_format="pyarrow")
+
+
 def q_random_sample(sf_dir: str):
     """K5 native seeded random sampling (Dataset.random_sample) — the
     role of the reference's df.sample / train_test_split
@@ -1018,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_edges_sql": q_linkage_edges_sql,
         "linkage_clusters_sql": q_linkage_clusters_sql,
         "random_sample": q_random_sample,
+        "near_dup_dedup": q_near_dup_dedup,
         "knn_label_documents": q_knn_label_documents,
         "classify_documents": q_classify_documents,
         "weak_label_pages": q_weak_label_pages,
@@ -1433,6 +1462,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS id, min(lab) AS cluster_id
             FROM rr GROUP BY node
+        """,
+        "near_dup_dedup": r"""
+            WITH RECURSIVE prep AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN length(t) < 3 THEN
+                  CASE WHEN t = '' THEN [] ELSE [t] END
+                ELSE list_distinct(list_transform(
+                  range(1, length(t) - 1), i -> substr(t, i, 3)))
+                END AS grams
+              FROM prep
+            ), pairs AS (
+              SELECT a.doc_id la, b.doc_id lb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / CAST(len(list_distinct(
+                            list_concat(a.grams, b.grams))) AS DOUBLE)
+                    >= 0.85
+            ), sym AS (
+              SELECT la a, lb b FROM pairs
+              UNION SELECT lb a, la b FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT a FROM sym
+            ), rr(node, lab) AS (
+              SELECT a, a FROM nodes
+              UNION
+              SELECT s.b, rr.lab FROM rr JOIN sym s ON s.a = rr.node
+            ), clusters AS (
+              SELECT node, min(lab) cid FROM rr GROUP BY node
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN
+              (SELECT node FROM clusters WHERE node <> cid)
         """,
         "simhash_pairs": r"""
             WITH toks AS (

@@ -115,11 +115,18 @@ def connected_components(edges, src: str = "left_id", dst: str = "right_id",
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "label": batch["node"]})
 
-    labels = (
+    # every Dataset.join input below goes through ensure_arrow with a
+    # pinned schema: aggregates emit SCHEMA-LESS empty blocks for empty
+    # partitions (ray plan_udf_map_op TODO), and acero rejects a join
+    # side containing a block without the key column
+    label_schema = pa.schema([("node", pa.string()),
+                              ("label", pa.string())])
+
+    labels = ensure_arrow(
         sym.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
+        .aggregate(Min("label", alias_name="label")),
+        schema=label_schema,
     )
 
     sig = _label_signature(labels)
@@ -137,10 +144,11 @@ def connected_components(edges, src: str = "left_id", dst: str = "right_id",
             )
 
         cand = prop.map_batches(to_candidates, batch_format="pyarrow")
-        labels = (
+        labels = ensure_arrow(
             cand.union(labels.select_columns(["node", "label"]))
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .aggregate(Min("label", alias_name="label")),
+            schema=label_schema,
         )
 
         # 2) pointer jumping: label <- label(label). Labels are node
@@ -163,8 +171,9 @@ def connected_components(edges, src: str = "left_id", dst: str = "right_id",
                 {"node": batch["node"], "label": batch["label2"]}
             )
 
-        labels = jumped.map_batches(
-            take_jump, batch_format="pyarrow").materialize()
+        labels = ensure_arrow(
+            jumped.map_batches(take_jump, batch_format="pyarrow"),
+            schema=label_schema)
         new_sig = _label_signature(labels)
         if new_sig == sig:
             break

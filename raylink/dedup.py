@@ -620,3 +620,31 @@ def embedding_near_dup_pairs(ds, vec_col: str, id_col: str,
         num_partitions=join_partitions,
         num_group_buckets=num_group_buckets,
         payload_to_binary=True)
+
+
+def near_dup_dedup(ds, text_col: str, id_col: str,
+                   jaccard_threshold: float = 0.85, **minhash_kwargs):
+    """End-to-end near-duplicate REMOVAL — the operator a training-data
+    pipeline actually runs: MinHash-LSH candidate pairs (exact-Jaccard
+    verified) -> generic distributed connected components over the
+    duplicate graph -> keep ONE canonical doc per cluster (the minimum
+    id in the engine's string order; zero-pad numeric ids upstream if
+    numeric order is wanted) -> broadcast anti-join drops the rest.
+    Returns the deduplicated dataset with all original columns."""
+    import pyarrow.compute as pc
+
+    from .cluster import connected_components
+    from .joins import broadcast_anti_join
+
+    pairs = minhash_lsh_pairs(ds, text_col, id_col,
+                              jaccard_threshold=jaccard_threshold,
+                              **minhash_kwargs)
+    cc = connected_components(pairs)
+
+    def losers(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t["id"], t["cluster_id"]))
+        return t.filter(keep).select(["id"])
+
+    non_canonical = cc.map_batches(losers, batch_format="pyarrow")
+    return broadcast_anti_join(ds, non_canonical, key=id_col,
+                               keys_key="id")

@@ -346,3 +346,23 @@ def test_ivf_partitioned_search(tmp_path):
     disk = idx.search_partitioned(out, queries, "embedding", "vec_id", k=4)
     assert [[i for i, _ in hits] for hits in mem] == \
            [[i for i, _ in hits] for hits in disk]
+
+
+def test_near_dup_dedup_removes_non_canonical():
+    """near_dup_dedup keeps exactly one (min-id) doc per near-dup
+    cluster and every unique doc."""
+    from raylink.dedup import near_dup_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again in the morning light near the old stone bridge")
+    rows = [
+        {"doc_id": "a1", "text": base},
+        {"doc_id": "a2", "text": base + " x"},          # near-dup of a1
+        {"doc_id": "a3", "text": base + " xy"},         # near-dup chain
+        {"doc_id": "b1", "text": "completely different content about "
+                                 "ships and harbours at dawn with "
+                                 "seagulls crying over the waves"},
+    ]
+    kept = near_dup_dedup(rd.from_items(rows), "text", "doc_id",
+                          jaccard_threshold=0.8).to_pandas()
+    assert sorted(kept["doc_id"]) == ["a1", "b1"]
