@@ -384,6 +384,15 @@ def fit_classifier_bundle(train_texts, train_labels,
                           side_texts=None, **sgd_kwargs):
     """Driver-side TF-IDF fit + SGD train -> broadcast ref. The dense
     train matrix is driver-side only (train is the small split)."""
+    vec, model, classes = _fit_classifier_local(
+        train_texts, train_labels, ngram_range, nbits,
+        word_ngram_range, word_nbits, side_texts, **sgd_kwargs)
+    return ray.put({"vectorizer": vec, "model": model, "classes": classes})
+
+
+def _fit_classifier_local(train_texts, train_labels, ngram_range,
+                          nbits, word_ngram_range, word_nbits,
+                          side_texts, **sgd_kwargs):
     train_texts = list(train_texts)
     columns = [train_texts]
     if side_texts is not None:
@@ -398,7 +407,73 @@ def fit_classifier_bundle(train_texts, train_labels,
     cls_idx = {c: i for i, c in enumerate(classes)}
     y = np.asarray([cls_idx[c] for c in train_labels])
     model = SoftmaxSGD(vec.dim, len(classes), **sgd_kwargs).fit(x, y)
-    return ray.put({"vectorizer": vec, "model": model, "classes": classes})
+    return vec, model, classes
+
+
+def classification_metrics(y_true, y_pred, topk_lists=None,
+                           k: int = 3) -> dict:
+    """accuracy, macro-F1 (averaged over the union of true+pred
+    classes), and top-k accuracy when per-row ranked label lists are
+    given — the reference's eval metrics (train_baseline.py:186-196)."""
+    y_true = list(y_true)
+    y_pred = list(y_pred)
+    n = len(y_true)
+    acc = sum(t == p for t, p in zip(y_true, y_pred)) / n if n else 0.0
+    classes = sorted(set(y_true) | set(y_pred))
+    f1s = []
+    for c in classes:
+        tp = sum(1 for t, p in zip(y_true, y_pred) if t == c and p == c)
+        fp = sum(1 for t, p in zip(y_true, y_pred) if t != c and p == c)
+        fn = sum(1 for t, p in zip(y_true, y_pred) if t == c and p != c)
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1s.append(2 * prec * rec / (prec + rec) if prec + rec else 0.0)
+    out = {"accuracy": acc,
+           "macro_f1": sum(f1s) / len(f1s) if f1s else 0.0}
+    if topk_lists is not None:
+        out[f"top{k}_accuracy"] = sum(
+            1 for t, cand in zip(y_true, topk_lists) if t in cand[:k]
+        ) / n if n else 0.0
+    return out
+
+
+def cv_metrics(texts, labels, n_folds: int = 3, topk: int = 3,
+               ngram_range=(3, 5), nbits: int = 14,
+               word_ngram_range=None, word_nbits: int = 14,
+               **sgd_kwargs) -> dict:
+    """G9: deterministic k-fold cross-validation of the hashed-TF-IDF
+    softmax classifier with mean accuracy / macro-F1 / top-k accuracy
+    across folds (reference scripts/train_baseline.py:174-196).
+    Driver-side by design — the train split is the small side; fold
+    assignment is index % n_folds (order-stable, no RNG)."""
+    texts = list(texts)
+    labels = list(labels)
+    per_fold = []
+    for f in range(n_folds):
+        tr_idx = [i for i in range(len(texts)) if i % n_folds != f]
+        te_idx = [i for i in range(len(texts)) if i % n_folds == f]
+        if not tr_idx or not te_idx:
+            continue
+        vec, model, classes = _fit_classifier_local(
+            [texts[i] for i in tr_idx], [labels[i] for i in tr_idx],
+            ngram_range, nbits, word_ngram_range, word_nbits, None,
+            **sgd_kwargs)
+        rows, cols, vals = vec.transform_coo(
+            [[texts[i] for i in te_idx]])
+        logits = np.tile(model.b, (len(te_idx), 1)).astype(np.float32)
+        if len(rows):
+            np.add.at(logits, rows, vals[:, None] * model.w[cols])
+        order = np.argsort(-logits, axis=1)
+        ranked = [[classes[j] for j in row[:topk]] for row in order]
+        y_pred = [r[0] for r in ranked]
+        y_true = [labels[i] for i in te_idx]
+        per_fold.append(classification_metrics(
+            y_true, y_pred, topk_lists=ranked, k=topk))
+    keys = per_fold[0].keys() if per_fold else []
+    agg = {f"mean_{k}": sum(m[k] for m in per_fold) / len(per_fold)
+           for k in keys}
+    agg["folds"] = per_fold
+    return agg
 
 
 def svd_project(x: np.ndarray, k: int = 256, seed: int = 42,

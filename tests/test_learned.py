@@ -214,3 +214,28 @@ def test_svd_project_low_rank():
     recon = (base @ vt1.T) @ vt1
     rel = np.linalg.norm(base - recon) / np.linalg.norm(base)
     assert rel < 1e-4, rel
+
+
+def test_cv_metrics_aggregation():
+    """G9: deterministic k-fold CV with mean accuracy / macro-F1 /
+    top-3 accuracy (reference train_baseline.py:174-196 role)."""
+    from raylink.learned import classification_metrics, cv_metrics
+
+    m = classification_metrics(
+        ["A", "A", "B"], ["A", "B", "B"],
+        topk_lists=[["A", "B"], ["B", "A"], ["B"]], k=2)
+    assert abs(m["accuracy"] - 2 / 3) < 1e-9
+    assert 0 < m["macro_f1"] <= 1
+    assert m["top2_accuracy"] == 1.0
+
+    texts = [t for t, _ in TRAIN] * 3
+    labels = [c for _, c in TRAIN] * 3
+    agg = cv_metrics(texts, labels, n_folds=3, nbits=12,
+                     epochs=30, lr=1.0)
+    assert len(agg["folds"]) == 3
+    assert agg["mean_accuracy"] >= 0.8
+    assert agg["mean_top3_accuracy"] >= agg["mean_accuracy"]
+    # deterministic
+    agg2 = cv_metrics(texts, labels, n_folds=3, nbits=12,
+                      epochs=30, lr=1.0)
+    assert agg == agg2
