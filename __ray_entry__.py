@@ -895,7 +895,11 @@ def q_weak_label_pages(sf_dir: str):
 
     fd = _pages_fixture(sf_dir)
     pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "text"])
-    return weak_label_dataset(pages, "text", concurrency=2)
+    import ray
+
+    conc = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2) \
+        if ray.is_initialized() else 2
+    return weak_label_dataset(pages, "text", concurrency=conc)
 
 
 def q_media_features(sf_dir: str):

@@ -587,13 +587,22 @@ def embedding_near_dup_pairs(ds, vec_col: str, id_col: str,
                     f"> max_bucket_rows={max_bucket_rows}; raise "
                     f"num_hyperplanes or the cap")
             ids = sorted(docs)
-            for x in range(len(ids)):
-                ax = docs[ids[x]]
-                for y in range(x + 1, len(ids)):
-                    ay = docs[ids[y]]
-                    if any(ax[tp] == ay[tp] for tp in range(t)):
-                        continue  # an earlier table owns this pair
-                    left.append(ids[x])
+            n = len(ids)
+            allb = np.array([docs[i] for i in ids], dtype=np.int64)
+            # vectorized first-agreeing-table ownership (row-chunked):
+            # pair owned here iff no earlier table's buckets agree
+            chunk = 256
+            for i0 in range(0, n, chunk):
+                i1 = min(i0 + chunk, n)
+                if t > 0:
+                    earlier = (allb[i0:i1, None, :t]
+                               == allb[None, :, :t]).any(axis=2)
+                else:
+                    earlier = np.zeros((i1 - i0, n), dtype=bool)
+                mask = (~earlier) & (
+                    np.arange(n)[None, :] > np.arange(i0, i1)[:, None])
+                for x, y in np.argwhere(mask):
+                    left.append(ids[i0 + x])
                     right.append(ids[y])
         return pa.table({"left_id": pa.array(left, pa.string()),
                          "right_id": pa.array(right, pa.string())})

@@ -202,19 +202,40 @@ def _multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _sparse_sims(q_rows, q_cols, q_vals, csc, n_q: int,
-                 n_train: int) -> np.ndarray:
+                 n_train: int,
+                 products_per_chunk: int = 50_000_000) -> np.ndarray:
     """(n_q, n_train) cosine sims of unit COO queries against a unit
-    CSC train matrix, touching only the queries' nonzero columns."""
+    CSC train matrix, touching only the queries' nonzero columns.
+    Accumulation uses np.bincount over flattened (row, train) indices
+    (far faster than np.add.at), processed in bounded chunks of
+    ``products_per_chunk`` scatter products: on template-heavy corpora
+    a gram's train document frequency can approach n_train, so one
+    batch can produce hundreds of millions of products — unchunked
+    that is several multi-GB intermediates at once."""
     indptr, t_rows, t_vals = csc
     starts = indptr[q_cols]
-    lens = (indptr[q_cols + 1] - starts)
-    gather = _multi_arange(starts, lens)
-    sims = np.zeros((n_q, n_train), dtype=np.float32)
-    if len(gather):
-        rq = np.repeat(q_rows, lens)
-        vq = np.repeat(q_vals, lens)
-        np.add.at(sims, (rq, t_rows[gather]), vq * t_vals[gather])
-    return sims
+    lens = indptr[q_cols + 1] - starts
+    total = int(lens.sum())
+    sims_flat = np.zeros(n_q * n_train, dtype=np.float64)
+    if total == 0:
+        return sims_flat.reshape(n_q, n_train).astype(np.float32)
+    cum = np.cumsum(lens)
+    s = 0
+    while s < len(q_cols):
+        base = cum[s - 1] if s else 0
+        e = int(np.searchsorted(cum, base + products_per_chunk,
+                                side="right")) + 1
+        e = max(s + 1, min(e, len(q_cols)))
+        gather = _multi_arange(starts[s:e], lens[s:e])
+        if len(gather):
+            rq = np.repeat(q_rows[s:e], lens[s:e])
+            vq = np.repeat(q_vals[s:e], lens[s:e])
+            flat = rq * n_train + t_rows[gather]
+            sims_flat += np.bincount(
+                flat, weights=(vq * t_vals[gather]),
+                minlength=n_q * n_train)
+        s = e
+    return sims_flat.reshape(n_q, n_train).astype(np.float32)
 
 
 class KnnPredict:

@@ -41,7 +41,6 @@ def _fnv64(s: str) -> int:
     return h
 
 
-_SIDE_COLS = ["_id", "_text", "_lat", "_lon", "block_key", "_side", "_salt"]
 
 
 def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
