@@ -286,24 +286,41 @@ def q_events_sliding_window(sf_dir: str):
     )
 
 
-def q_event_sessions(sf_dir: str):
-    """Session windows (30-min gap) per user via sorted map_groups —
-    the per-key ordered-log pattern for stream-shaped data."""
+def q_event_sessions(sf_dir: str, num_buckets: int = 64):
+    """Session windows (30-min gap) per user — the per-key ordered-log
+    pattern for stream-shaped data.
+
+    Scale shape (VERDICT r2 #4): grouping directly by user_id makes one
+    pandas DataFrame per user (millions of tiny pandas ops at 100×);
+    instead co-shuffle users into <= ``num_buckets`` hash buckets and
+    resolve each bucket with ONE vectorized sort + shift/diff + C-level
+    groupby-agg — same pattern as ``keep_best_per_right``."""
     ev = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        n_sessions = int((gap > 1800).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
-        )
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ub = pc.cast(pc.bit_wise_and(t["user_id"], num_buckets - 1),
+                     pa.int32())
+        return t.append_column("_ub", ub)
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if "user_id" not in g.columns or len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff().dt.total_seconds()
+        new_session = (g["user_id"] != g["user_id"].shift()) | (gap > 1800)
+        out = (g.assign(_ns=new_session.astype("int64"))
+               .groupby("user_id", sort=False)
+               .agg(n_events=("user_id", "size"), n_sessions=("_ns", "sum"))
+               .reset_index())
+        return out.astype({"n_events": "int64", "n_sessions": "int64"})
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )
 
 
 def q_distinct_event_types(sf_dir: str):
@@ -719,6 +736,39 @@ def q_pages_parse(sf_dir: str):
          "kat", "il", "ilce", "confidence"])
 
 
+PARSE_SQL_ENTITIES = 2000  # == entities_for_sf_dir(sf0.01), the gate scale
+
+
+def q_pages_parse_sql(sf_dir: str):
+    """Parse-stage partial SQL oracle (VERDICT r2 #5): run the REAL
+    parse chain (clean_text -> parse_fields -> postprocess_parts,
+    raylink/parse.py) over the pages fixture and emit the
+    SQL-expressible columns (url, no, daire, kat, il). The DuckDB
+    oracle re-derives them independently with regexp_replace /
+    regexp_extract / list lambdas — breaking the circularity where the
+    parse stage was only checked by pytest fixtures that share the
+    fixture generator with the engine.
+
+    Fixture size is PINNED to the sf0.01 gate scale (2000 entities)
+    regardless of sf_dir so the static oracle_sql() string and this
+    query always read the identical input; the scaling path for parse
+    remains q_pages_parse (fixture sized by sf)."""
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "text"])
+    flat = flatten_parts(parse_dataset(pages, "text"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        out = {"url": t.column("url")}
+        for c in ("no", "daire", "kat", "il"):
+            # fill_null('') on both sides: the driver canon() casts
+            # object columns via astype(str), which would stringify
+            # engine None and SQL NULL differently
+            out[c] = pc.fill_null(t.column(c), "")
+        return pa.table(out)
+
+    return flat.map_batches(proj, batch_format="pyarrow")
+
+
 def q_near_dup_dedup(sf_dir: str):
     """End-to-end near-duplicate REMOVAL (the operator a training-data
     pipeline runs): MinHash-LSH verified pairs at Jaccard >= 0.85 ->
@@ -975,27 +1025,35 @@ def q_keyword_presence(sf_dir: str):
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed ANN (coarse k-means centroids, n_probe lists) for
     the same 3 query vectors as knn_bruteforce — the scale path where
-    brute force over every row is too expensive. Rows-only (IVF trades
-    recall for cost; exactness is the brute-force query's oracle)."""
+    brute force over every row is too expensive.
+
+    Self-checking (VERDICT r2 #3): exact brute-force top-k is computed
+    in the SAME query and each row carries ``recall_vs_exact`` (IVF hit
+    set vs exact hit set for its query), so the gate row exposes recall
+    directly instead of being an unverifiable rows-only count. Still no
+    SQL oracle (IVF is approximate by design); pytest asserts
+    recall >= 0.9 (`tests/test_operators.py::test_ivf_recall`)."""
     import numpy as np
 
-    from raylink.simsearch import IVFIndex
+    from raylink.simsearch import IVFIndex, knn_bruteforce
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     sample = np.array([r["embedding"] for r in emb.take(256)])
     idx = IVFIndex(n_lists=8, n_probe=3).fit(sample)
     assigned = idx.assign_dataset(emb, "embedding").materialize()
     qrows = sorted((r for r in emb.take(3)), key=lambda r: r["vec_id"])
-    res = idx.search(assigned, [r["embedding"] for r in qrows],
-                     "embedding", "vec_id", k=5)
+    qvecs = [r["embedding"] for r in qrows]
+    res = idx.search(assigned, qvecs, "embedding", "vec_id", k=5)
+    exact = knn_bruteforce(emb, qvecs, "embedding", "vec_id", k=5)
     rows = []
     for qi, hits in enumerate(res):
-        for rank, (hid, _) in enumerate(
-                (h for h in hits if int(h[0]) != qi), 1):
-            if rank > 4:
-                break
-            rows.append({"query_id": qi, "neighbor_id": int(hid),
-                         "rank": rank})
+        ivf_ids = [int(h[0]) for h in hits if int(h[0]) != qi][:4]
+        exact_ids = [int(h[0]) for h in exact[qi] if int(h[0]) != qi][:4]
+        recall = (len(set(ivf_ids) & set(exact_ids))
+                  / max(1, len(exact_ids)))
+        for rank, hid in enumerate(ivf_ids, 1):
+            rows.append({"query_id": qi, "neighbor_id": hid,
+                         "rank": rank, "recall_vs_exact": recall})
     return pa.Table.from_pylist(rows)
 
 
@@ -1041,15 +1099,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cc_chain_clusters": q_cc_chain_clusters,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "pages_extract": q_pages_extract,
+        # pages_extract and random_sample are deliberately NOT gate
+        # queries (the driver records at most 50): extract is exercised
+        # inside pages_parse / linkage_* and by pytest
+        # (test_extract_inverts_fixture_html); seeded sampling is
+        # covered by union_sample's oracle + the seed-determinism test.
         "pages_parse": q_pages_parse,
+        "pages_parse_sql": q_pages_parse_sql,
         "linkage_edges": q_linkage_edges,
         "linkage_clusters": q_linkage_clusters,
         "linkage_edges_sql": q_linkage_edges_sql,
         "linkage_clusters_sql": q_linkage_clusters_sql,
-        "random_sample": q_random_sample,
         "near_dup_dedup": q_near_dup_dedup,
         "knn_label_documents": q_knn_label_documents,
         "classify_documents": q_classify_documents,
@@ -1061,7 +1124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": q_event_value_histogram,
         "keyword_presence": q_keyword_presence,
         "doc_fingerprints": q_doc_fingerprints,
-        "knn_ivf": q_knn_ivf,
     }
 
 
@@ -1091,6 +1153,127 @@ def _lang_id_sql() -> str:
       FROM documents
     )
     SELECT doc_id, {case} AS lang_pred FROM counts
+    """
+
+
+def _pages_parse_oracle_sql() -> str:
+    """DuckDB re-derivation of the parse stage's SQL-expressible columns
+    (url, no, daire, kat, il) from the RAW fixture text — independent of
+    every engine kernel (VERDICT r2 #5).
+
+    Replicates raylink/parse.py clean_text in RE2 terms:
+    - lookbehind/lookahead punctuation rules become two-capture
+      replaces; the between-non-digits rule runs TWICE because consume
+      semantics can leave a second punctuation char unprocessed
+      (", ." sequences) — fixed point for the fixture text family.
+    - NFKC is omitted (identity on the fixture charset: ASCII + Turkish
+      letters + latin-1 mojibake, all NFKC-stable).
+    - the `d 1 -> daire 1` lookahead rule is omitted (no standalone "d"
+      token can occur in fixture text).
+    - `sokağı`/`bulvarı` ABBR rows keep their Python spelling; RE2's
+      ASCII \\b after `ı` can't match them, but those surface forms
+      never occur in the fixture either.
+    Extraction mirrors parse_fields + postprocess_parts: first-match
+    regexp_extract for no/daire/kat, the no "n/d" both-digits split
+    (daire via setdefault), fullmatch [0-9]+[a-z]? validation, and the
+    two-source il rule: rightmost adjacent alpha (non-IL, IL) pair in
+    the LAST 8 TOKENS, else the city-hints scan over "/"-split pieces
+    (lexicographically smallest hint of the rightmost hit piece)."""
+    from raylink.parse import CITY_HINTS, IL_SET
+
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    il_list = "[" + ", ".join(
+        f"'{v}'" for v in sorted(IL_SET)) + "]"
+    city_list = "[" + ", ".join(
+        f"'{v}'" for v in sorted(CITY_HINTS)) + "]"
+
+    e = "replace(replace(text, 'İ', 'i'), 'I', 'ı')"
+    e = f"lower({e})"
+    for _ in range(2):  # (?<=\D)[.,](?=\D) — two passes, see docstring
+        e = (f"regexp_replace({e}, "
+             r"'([^0-9])[\.,]([^0-9])', '\1 \2', 'g')")
+    e = f"regexp_replace({e}, " + r"'([^0-9])[\.,]([0-9])', '\1 \2', 'g')"
+    e = f"regexp_replace({e}, " + r"'([0-9]),([^0-9])', '\1 \2', 'g')"
+    e = f"regexp_replace({e}, '[;:|]+', ' ', 'g')"
+    abbr = [  # raylink/parse.py _ABBR, same order
+        (r"\bmah\.?\b", "mahalle"), (r"\bmahallesi\b", "mahalle"),
+        (r"\bmh\.?\b", "mahalle"), (r"\bcad\.?\b", "cadde"),
+        (r"\bcaddesi\b", "cadde"), (r"\bcd\.?\b", "cadde"),
+        (r"\bsok\.?\b", "sokak"), (r"\bsokağı\b", "sokak"),
+        (r"\bsk\.?\b", "sokak"), (r"\bbulv?\.?\b", "bulvar"),
+        (r"\bbulvarı\b", "bulvar"), (r"\bno:?", "no "),
+        (r"\bkapı no:?", "no "), (r"\bd[.:]\B", "daire "),
+        (r"\bdaire:?", "daire "), (r"\bkat:?", "kat "),
+        (r"\bapt\.?\b", "apartman"), (r"\bap\b", "apartman"),
+    ]
+    for pat, repl in abbr:
+        e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
+    e = f"regexp_replace({e}, " + r"'\bno *[:\-]? *([0-9]+)', 'no \1', 'g')"
+    e = (f"regexp_replace({e}, "
+         + r"'([0-9]+)\.(sokak|cadde|mahalle)\b', '\1 \2', 'g')")
+    e = f"regexp_replace({e}, " + r"'([^0-9])/([^0-9])', '\1 / \2', 'g')"
+    e = f"regexp_replace({e}, " + r"'\s+', ' ', 'g')"
+    clean = f"trim({e})"
+
+    alpha = "'[a-zçğıöşü]+'"
+    return f"""
+    WITH cleaned AS (
+      SELECT url, {clean} AS txt
+      FROM read_parquet('{fd}/pages.parquet')
+    ), ext AS (
+      SELECT url, txt,
+        nullif(regexp_extract(txt,
+          '\\bno *([0-9]+[a-z]?(?:/[0-9a-z]+)?)\\b', 1), '') AS no_raw,
+        nullif(regexp_extract(txt,
+          '\\bdaire *([0-9a-z]+)\\b', 1), '') AS daire_raw,
+        nullif(regexp_extract(txt,
+          '\\bkat *([0-9a-z]+)\\b', 1), '') AS kat_raw,
+        list_filter(string_split(txt, ' '), w -> w != '') AS toks
+      FROM cleaned
+    ), fields AS (
+      SELECT url, txt,
+        no_raw LIKE '%/%'
+          AND regexp_full_match(split_part(no_raw, '/', 1), '[0-9]+')
+          AND regexp_full_match(split_part(no_raw, '/', 2), '[0-9]+')
+          AS no_split,
+        no_raw, daire_raw, kat_raw,
+        toks[greatest(1, len(toks) - 7):len(toks)] AS tail
+      FROM ext
+    ), parsed AS (
+      SELECT url, txt,
+        CASE WHEN no_split THEN split_part(no_raw, '/', 1)
+             ELSE no_raw END AS no_val,
+        COALESCE(
+          CASE WHEN no_split THEN split_part(no_raw, '/', 2) END,
+          CASE WHEN regexp_full_match(coalesce(daire_raw, ''),
+                                      '[0-9]+[a-z]?')
+               THEN daire_raw END) AS daire_val,
+        CASE WHEN regexp_full_match(coalesce(kat_raw, ''),
+                                    '[0-9]+[a-z]?')
+             THEN kat_raw END AS kat_val,
+        list_filter(
+          list_transform(range(len(tail), 1, -1),
+            k -> {{'x': tail[k-1], 'y': tail[k]}}),
+          s -> regexp_full_match(s.x, {alpha})
+           AND regexp_full_match(s.y, {alpha})
+           AND list_contains({il_list}, s.y)
+           AND NOT list_contains({il_list}, s.x))[1].y AS il_tail,
+        list_sort(list_intersect(
+          list_filter(string_split(trim(
+            list_filter(list_reverse(string_split(txt, '/')),
+              p -> len(list_intersect(
+                     list_filter(string_split(trim(p), ' '),
+                                 w -> w != ''),
+                     {city_list})) > 0)[1]), ' '), w -> w != ''),
+          {city_list}))[1] AS il_city
+      FROM fields
+    )
+    SELECT url,
+      COALESCE(no_val, '') AS "no",
+      COALESCE(daire_val, '') AS daire,
+      COALESCE(kat_val, '') AS kat,
+      COALESCE(il_tail, il_city, '') AS il
+    FROM parsed
     """
 
 
@@ -1405,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 4
         """,
+        "pages_parse_sql": _pages_parse_oracle_sql(),
         "linkage_edges_sql": r"""
             WITH l AS (
               SELECT p_partkey id, p_name nm,
