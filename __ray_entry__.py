@@ -896,7 +896,11 @@ def q_knn_label_documents(sf_dir: str):
     """Learned matcher T1/J7: TF-IDF char-n-gram cosine 1-NN label
     assignment — fit on even doc_ids (label = lang), predict odd ones.
     Broadcast-bundle actor pool; rows-only check."""
-    from raylink.learned import fit_knn_bundle, knn_label_dataset
+    from raylink.learned import (
+        collect_train_split,
+        fit_knn_bundle,
+        knn_label_dataset,
+    )
 
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -906,9 +910,10 @@ def q_knn_label_documents(sf_dir: str):
     def odd(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
 
-    # train split is the small side by design: collected once on the
-    # driver for the fit, then broadcast (ray.put inside the bundle)
-    train = docs.map_batches(even, batch_format="pyarrow").take_all()
+    # train split is the small side by design; collect_train_split
+    # bounds the driver collect (downsamples past MAX_TRAIN_ROWS)
+    train = collect_train_split(docs.map_batches(even,
+                                                 batch_format="pyarrow"))
     bundle = fit_knn_bundle([r["text"] for r in train],
                             [r["lang"] for r in train], nbits=16,
                             word_ngram_range=(1, 2))
@@ -920,7 +925,11 @@ def q_knn_label_documents(sf_dir: str):
 def q_classify_documents(sf_dir: str):
     """Learned classifier T2/T3: hashed TF-IDF + softmax SGD trained on
     even doc_ids (label = lang), inference as an actor pool."""
-    from raylink.learned import classify_dataset, fit_classifier_bundle
+    from raylink.learned import (
+        classify_dataset,
+        collect_train_split,
+        fit_classifier_bundle,
+    )
 
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -930,7 +939,8 @@ def q_classify_documents(sf_dir: str):
     def odd(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
 
-    train = docs.map_batches(even, batch_format="pyarrow").take_all()
+    train = collect_train_split(docs.map_batches(even,
+                                                 batch_format="pyarrow"))
     bundle = fit_classifier_bundle(
         [r["text"] for r in train], [r["lang"] for r in train],
         nbits=14, epochs=8, word_ngram_range=(1, 2))

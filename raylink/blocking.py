@@ -127,6 +127,16 @@ def make_block_key_batch_fn(text_col: str, mode: str,
     return block_batch
 
 
+def _first_row_key(batch: pa.Table, text_col: str, mode: str) -> str:
+    """Recompute row 0's block key under ``mode`` (reuse spot check)."""
+    row = {}
+    for c in (text_col, "il", "ilce", "province", "district", "city",
+              "county"):
+        if c in batch.column_names:
+            row[c] = batch.column(c)[0].as_py()
+    return make_block_key(row, text_col, mode)
+
+
 def add_block_keys(ds, text_col: str, mode: str, out_col: str = "block_key",
                    allow_single_bucket: bool = False, batch_size: int = 8192,
                    reuse: bool = False):
@@ -134,8 +144,14 @@ def add_block_keys(ds, text_col: str, mode: str, out_col: str = "block_key",
     through untouched — callers in a pipeline that derived the key once
     upstream (prepare_pages) must not pay the derivation again per
     consumer (hot-block scan + both match sides re-derived it 3x in
-    round 1). CONTRACT: with reuse on, an existing column is trusted to
-    have been built with the same ``mode``."""
+    round 1).
+
+    The reuse contract is VERIFIED, not just documented (ADVICE r2 #4):
+    each passed-through batch re-derives row 0's key under the
+    requested ``mode`` and raises on disagreement, so an upstream that
+    blocked with a different ``block_by`` fails loudly instead of
+    silently matching on stale keys. O(1) per batch; a per-row check
+    would re-pay the derivation the reuse path exists to avoid."""
     fn = make_block_key_batch_fn(text_col, mode, out_col,
                                  allow_single_bucket)
     if reuse:
@@ -143,6 +159,16 @@ def add_block_keys(ds, text_col: str, mode: str, out_col: str = "block_key",
 
         def fn(batch: pa.Table) -> pa.Table:  # noqa: F811
             if out_col in batch.column_names:
+                if batch.num_rows:
+                    want = _first_row_key(batch, text_col, mode)
+                    got = batch.column(out_col)[0].as_py()
+                    if got != want:
+                        raise ValueError(
+                            f"add_block_keys(reuse=True): existing "
+                            f"'{out_col}' disagrees with mode "
+                            f"'{mode}' (row 0: got {got!r}, want "
+                            f"{want!r}) — upstream used a different "
+                            f"block_by")
                 return batch
             return inner(batch)
 

@@ -288,6 +288,26 @@ def _default_channels(ngram_range, nbits, word_ngram_range, word_nbits,
     return channels
 
 
+MAX_TRAIN_ROWS = 200_000
+
+
+def collect_train_split(ds, max_rows: int = MAX_TRAIN_ROWS,
+                        seed: int = 42) -> list[dict]:
+    """Bounded driver-side collect of a training split (VERDICT r2 #6).
+
+    The fit itself is driver-side BY CONTRACT — the reference fits on a
+    pandas frame too (scripts/train_baseline.py:133-160) — but an
+    unbounded ``take_all()`` breaks at 100x scale. This helper is the
+    required doorway: splits over ``max_rows`` are deterministically
+    downsampled with ``Dataset.random_sample(seed=...)`` BEFORE the
+    collect, so driver memory stays bounded by ~max_rows rows while
+    small splits pass through untouched (bit-identical bundles)."""
+    n = ds.count()
+    if n > max_rows:
+        ds = ds.random_sample(max_rows / n, seed=seed)
+    return ds.take_all()
+
+
 def fit_knn_bundle(train_texts, train_labels,
                    ngram_range=(3, 5), nbits: int = 18,
                    word_ngram_range: tuple[int, int] | None = None,
@@ -296,7 +316,11 @@ def fit_knn_bundle(train_texts, train_labels,
     """Driver-side fit -> ray.put object ref for the actor pool.
     ``word_ngram_range`` adds the word-gram channel; ``side_texts``
     (aligned with train_texts) adds the side-signature channels —
-    together the reference's 4-vectorizer union."""
+    together the reference's 4-vectorizer union.
+
+    Size contract: callers collecting a train split from a Dataset must
+    go through :func:`collect_train_split` (bounded at MAX_TRAIN_ROWS)
+    rather than a raw ``take_all()``."""
     train_texts = list(train_texts)
     columns = [train_texts]
     if side_texts is not None:
@@ -404,7 +428,10 @@ def fit_classifier_bundle(train_texts, train_labels,
                           word_nbits: int = 14,
                           side_texts=None, **sgd_kwargs):
     """Driver-side TF-IDF fit + SGD train -> broadcast ref. The dense
-    train matrix is driver-side only (train is the small split)."""
+    train matrix is driver-side only (train is the small split).
+
+    Size contract: collect the split via :func:`collect_train_split`
+    (bounded at MAX_TRAIN_ROWS), never a raw ``take_all()``."""
     vec, model, classes = _fit_classifier_local(
         train_texts, train_labels, ngram_range, nbits,
         word_ngram_range, word_nbits, side_texts, **sgd_kwargs)

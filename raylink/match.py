@@ -41,6 +41,34 @@ def _fnv64(s: str) -> int:
     return h
 
 
+def _hash_strings(arr) -> "np.ndarray":
+    """Vectorized uint64 hash of a string Arrow array / object ndarray
+    (C-level SipHash via pandas.util.hash_array) — replaces the per-row
+    Python FNV loops that ran over the full corpus in every linkage
+    projection (VERDICT r2 #8). Deterministic across processes (fixed
+    hash key). Bucket/salt identity only affects which rows CO-LOCATE;
+    pair coverage and scores are invariant to the hash choice."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(arr, dtype=object),
+                              categorize=False)
+
+
+_SALT_MIX = 0x9E3779B97F4A7C15
+
+
+def _bucket_of(key_hash, salts, num_buckets: int) -> pa.Array:
+    """(key_hash, salt) -> bounded bucket id, vectorized."""
+    import numpy as np
+
+    s = np.asarray(salts, dtype=np.uint64)
+    b = (key_hash ^ (s * np.uint64(_SALT_MIX))) % np.uint64(num_buckets)
+    return pa.array(b.astype(np.int32))
+
+
 
 
 def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
@@ -84,39 +112,37 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
                 "_side": pa.array([side] * n, pa.int8()),
             }
         )
-        key_list = keys.to_pylist()
+        import numpy as np
+        import pyarrow.compute as pc
+
+        key_hash = _hash_strings(keys)
         if hot_empty or not hot:
+            zeros = np.zeros(n, dtype=np.int64)
             base = base.append_column(
-                "_salt", pa.array([0] * n, pa.int32()))
-            buckets = [_fnv64(f"{k}|0") % num_buckets for k in key_list]
+                "_salt", pa.array(zeros.astype(np.int32)))
             return base.append_column(
-                "_bucket", pa.array(buckets, pa.int32()))
+                "_bucket", _bucket_of(key_hash, zeros, num_buckets))
+        mask = np.asarray(
+            pc.fill_null(pc.is_in(keys, value_set=pa.array(sorted(hot))),
+                         False).to_numpy(zero_copy_only=False), dtype=bool)
         if side == 0:
-            salts = [
-                _fnv64(i) % num_salts if k in hot else 0
-                for i, k in zip(ids.to_pylist(), key_list)
-            ]
+            salts = np.where(
+                mask, _hash_strings(ids) % np.uint64(num_salts), 0
+            ).astype(np.int64)
         else:
             # right side: replicate hot-block rows across all salts
-            idx: list[int] = []
-            salts = []
-            for row, k in enumerate(key_list):
-                if k in hot:
-                    for s in range(num_salts):
-                        idx.append(row)
-                        salts.append(s)
-                else:
-                    idx.append(row)
-                    salts.append(0)
-            base = base.take(pa.array(idx, pa.int64()))
-            key_list = base.column("block_key").to_pylist()
-        base = base.append_column("_salt", pa.array(salts, pa.int32()))
-        buckets = [
-            _fnv64(f"{k}|{s}") % num_buckets
-            for k, s in zip(key_list, salts)
-        ]
+            reps = np.where(mask, num_salts, 1)
+            idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(reps[:-1], out=offsets[1:])
+            salts = np.arange(len(idx), dtype=np.int64) \
+                - np.repeat(offsets, reps)
+            base = base.take(pa.array(idx))
+            key_hash = key_hash[idx]
+        base = base.append_column(
+            "_salt", pa.array(salts.astype(np.int32)))
         return base.append_column(
-            "_bucket", pa.array(buckets, pa.int32()))
+            "_bucket", _bucket_of(key_hash, salts, num_buckets))
 
     return ds.map_batches(project, batch_format="pyarrow")
 
@@ -289,37 +315,39 @@ def match_tagged(tagged, cfg: MatchConfig | None = None,
         base = pa.table(
             {"_id": ids, "_text": texts, "_lat": lats, "_lon": lons,
              "block_key": keys, "_side": sides})
-        key_list = keys.to_pylist()
+        import numpy as np
+        import pyarrow.compute as pc
+
+        key_hash = _hash_strings(keys)
         if not hot:
+            zeros = np.zeros(n, dtype=np.int64)
             base = base.append_column(
-                "_salt", pa.array([0] * n, pa.int32()))
-            buckets = [_fnv64(f"{k}|0") % num_buckets for k in key_list]
+                "_salt", pa.array(zeros.astype(np.int32)))
             return base.append_column(
-                "_bucket", pa.array(buckets, pa.int32()))
-        side_list = sides.to_pylist()
-        id_list = ids.to_pylist()
-        idx: list[int] = []
-        salts: list[int] = []
-        for row, (k, sd) in enumerate(zip(key_list, side_list)):
-            if k in hot:
-                if sd == 0:
-                    idx.append(row)
-                    salts.append(_fnv64(id_list[row]) % num_salts)
-                else:
-                    for s in range(num_salts):
-                        idx.append(row)
-                        salts.append(s)
-            else:
-                idx.append(row)
-                salts.append(0)
-        base = base.take(pa.array(idx, pa.int64()))
-        key_take = base.column("block_key").to_pylist()
-        base = base.append_column("_salt", pa.array(salts, pa.int32()))
-        buckets = [
-            _fnv64(f"{k}|{s}") % num_buckets
-            for k, s in zip(key_take, salts)
-        ]
-        return base.append_column("_bucket", pa.array(buckets, pa.int32()))
+                "_bucket", _bucket_of(key_hash, zeros, num_buckets))
+        mask = np.asarray(
+            pc.fill_null(pc.is_in(keys, value_set=pa.array(sorted(hot))),
+                         False).to_numpy(zero_copy_only=False), dtype=bool)
+        side_np = np.asarray(sides.to_numpy(zero_copy_only=False),
+                             dtype=np.int8)
+        # hot right rows replicate across all salts; hot left rows get
+        # one id-hashed salt; cold rows keep salt 0
+        reps = np.where(mask & (side_np == 1), num_salts, 1)
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(reps[:-1], out=offsets[1:])
+        salts = np.arange(len(idx), dtype=np.int64) \
+            - np.repeat(offsets, reps)
+        left_hot = np.flatnonzero(mask & (side_np == 0))
+        if left_hot.size:
+            id_salt = _hash_strings(ids) % np.uint64(num_salts)
+            out_pos = offsets[left_hot]  # reps==1 -> position == offset
+            salts[out_pos] = id_salt[left_hot].astype(np.int64)
+        base = base.take(pa.array(idx))
+        base = base.append_column(
+            "_salt", pa.array(salts.astype(np.int32)))
+        return base.append_column(
+            "_bucket", _bucket_of(key_hash[idx], salts, num_buckets))
 
     both = ds.map_batches(project, batch_format="pyarrow")
     if cfg.shuffle_partitions:
@@ -360,19 +388,25 @@ def _sample_blocks(ds, fraction: float, seed: int):
 
 
 def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
-                    sample_fraction: float = 0.1,
+                    sample_fraction: float = 1.0,
                     seed: int = 42,
                     cutoff_scale: float = 1.0) -> set[str]:
     """Block keys whose row count exceeds cfg.salt_over (small result,
     collected to the driver and broadcast into the salting stage).
 
-    Runs over a seeded ``sample_fraction`` sample by default: salting
-    an extra key is harmless (pair coverage is exact either way) and a
-    truly hot block (> salt_over rows) clears the half-scaled cutoff
-    with probability ~1 (Poisson tail ~1e-4 at the boundary), so the
-    skew scan costs a tenth of a full pass — the full pass was 15s of
-    a 99s pipeline while finding zero hot keys (r2 measurement). Pass
-    ``sample_fraction=1.0`` for the exact scan.
+    The public default is the EXACT full scan (ADVICE r2 #1: the
+    block-level sample assumes row order is uncorrelated with block
+    key, which an upstream sort/groupby silently breaks). Callers whose
+    input layout is known to be key-uncorrelated (e.g. the linkage
+    pipeline over crawl-ordered pages) opt into ``sample_fraction<1``:
+    salting an extra key is harmless (pair coverage is exact either
+    way) and a truly hot block (> salt_over rows) clears the
+    half-scaled cutoff with probability ~1 (Poisson tail ~1e-4 at the
+    boundary), so the skew scan costs a tenth of a full pass — the full
+    pass was 15s of a 99s pipeline while finding zero hot keys (r2
+    measurement). A hot key MISSED by a bad sample fails loudly
+    downstream (the scorer's max_block_pairs guard raises), never
+    silently wrong.
 
     ``cutoff_scale``: pass the (fraction x safety) factor when ``ds``
     was ALREADY sampled upstream (e.g. a 10% page sample fed through
@@ -457,9 +491,11 @@ def keep_best_per_right(edges, num_buckets: int = 256):
     ONE vectorized sort + drop_duplicates."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        rb = [_fnv64(r) % num_buckets
-              for r in batch.column("right_id").to_pylist()]
-        return batch.append_column("_rb", pa.array(rb, pa.int32()))
+        import numpy as np
+
+        rb = (_hash_strings(batch.column("right_id").cast(pa.string()))
+              % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("_rb", pa.array(rb))
 
     def best_in_bucket(bucket: pa.Table) -> pa.Table:
         if "right_id" not in bucket.column_names or bucket.num_rows == 0:

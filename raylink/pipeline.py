@@ -155,7 +155,12 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
 
     hot: set[str] = set()
     if salt_hot_blocks:
-        hot = find_hot_blocks(prepared, "addr_norm", cfg)
+        # opt into the 10% block-level sample here (ADVICE r2 #1: the
+        # public default is a full scan): prepared is materialized from
+        # crawl-ordered pages, so row order is uncorrelated with block
+        # key — the documented assumption of the block sample
+        hot = find_hot_blocks(prepared, "addr_norm", cfg,
+                              sample_fraction=0.1)
 
     tagged_path = (cfg.left_id == cfg.right_id and cfg.method != "index")
 

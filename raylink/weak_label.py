@@ -25,7 +25,7 @@ _DEFAULT_GAZ_PATH = os.path.join(
     "configs", "gazetteers.json")
 
 
-def load_gazetteers(path: str) -> dict:
+def load_gazetteers(path: str, shape: str | None = None) -> dict:
     """Load gazetteers from a JSON file — the reference loads its posta
     hierarchy JSONs the same way (weak_labeling.py:15-19). Accepted
     shapes: {"mahalle": [...], "il": [...], "ilce": [...]} (missing
@@ -33,7 +33,14 @@ def load_gazetteers(path: str) -> dict:
     KEYS are neighborhood names (the reference's mahalle->hierarchy
     index). Entries are normalized with the default normalizer; for
     multi-word entries the first token is indexed (the labeler tags
-    single tokens)."""
+    single tokens).
+
+    Shape detection discriminates on VALUE types (ADVICE r2 #3): the
+    keyed shape carries list values under its known keys, while a
+    hierarchy mapping has dict values — so a hierarchy that happens to
+    contain a neighborhood literally named "mahalle"/"il"/"ilce" is
+    still parsed as a hierarchy. Pass ``shape`` ("keyed"/"hierarchy")
+    to override detection."""
     with open(path, encoding="utf-8") as f:
         data = json.load(f)
     norm = get_normalizer(None)
@@ -46,8 +53,15 @@ def load_gazetteers(path: str) -> dict:
                 out.add(toks[0])
         return out
 
-    if isinstance(data, dict) and \
-            not ({"mahalle", "il", "ilce"} & set(data)):
+    if shape is None:
+        known = {"mahalle", "il", "ilce"} & set(data) \
+            if isinstance(data, dict) else set()
+        keyed = bool(known) and all(
+            isinstance(data[k], (list, tuple)) for k in known)
+        shape = "keyed" if keyed else "hierarchy"
+    if shape not in ("keyed", "hierarchy"):
+        raise ValueError(f"unknown gazetteer shape {shape!r}")
+    if shape == "hierarchy":
         # mahalle -> hierarchy mapping: keys are the index
         return {"mahalle_index": index(data.keys()),
                 "il": set(IL_SET) | set(CITY_HINTS),

@@ -117,6 +117,18 @@ def test_gazetteer_json_loading(tmp_path):
     # il/ilce fall back to the built-in hint sets
     assert "mugla" in g2["il"]
 
+    # ADVICE r2 #3: a hierarchy whose keys include a neighborhood
+    # literally named "mahalle" is still detected as a hierarchy
+    # (dict values), not misparsed as the keyed shape
+    p3 = tmp_path / "hier_trap.json"
+    p3.write_text(json.dumps(
+        {"mahalle": {"il": "izmir"}, "atakent": {}}), encoding="utf-8")
+    g3 = load_gazetteers(str(p3))
+    assert {"mahalle", "atakent"} <= g3["mahalle_index"]
+    # explicit shape override wins over detection
+    g4 = load_gazetteers(str(p1), shape="hierarchy")
+    assert {"mahalle", "il", "ilce"} <= g4["mahalle_index"]
+
 
 def test_read_csv_tolerant_cp1254(tmp_path):
     p = tmp_path / "tr.csv"
@@ -239,3 +251,25 @@ def test_cv_metrics_aggregation():
     agg2 = cv_metrics(texts, labels, n_folds=3, nbits=12,
                       epochs=30, lr=1.0)
     assert agg == agg2
+
+
+def test_collect_train_split_bounded():
+    """VERDICT r2 #6: a train split past MAX_TRAIN_ROWS is downsampled
+    BEFORE the driver collect (bounded memory), while small splits pass
+    through exactly; sampling is seed-deterministic."""
+    from raylink.learned import collect_train_split
+
+    big = rd.range(5000).map_batches(
+        lambda t: pa.table({"text": [f"doc {i}" for i in
+                                     t.column("id").to_pylist()]}),
+        batch_format="pyarrow")
+    rows = collect_train_split(big, max_rows=500, seed=7)
+    assert 300 <= len(rows) <= 700  # ~500 expected, binomial spread
+    again = collect_train_split(big, max_rows=500, seed=7)
+    assert [r["text"] for r in rows] == [r["text"] for r in again]
+
+    small = rd.range(50).map_batches(
+        lambda t: pa.table({"text": [f"doc {i}" for i in
+                                     t.column("id").to_pylist()]}),
+        batch_format="pyarrow")
+    assert len(collect_train_split(small, max_rows=500)) == 50

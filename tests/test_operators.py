@@ -242,19 +242,27 @@ def test_checkpoint_resume(tmp_path):
 
 
 def test_add_block_keys_reuse_skips_recompute():
-    """VERDICT r1 #7: with reuse=True an existing block_key column is
-    trusted (sentinel values survive), so a pipeline derives the key
-    exactly once; without reuse the column is recomputed."""
-    from raylink.blocking import add_block_keys
+    """VERDICT r1 #7 + ADVICE r2 #4: with reuse=True an existing
+    block_key column is passed through after an O(1) row-0 spot check —
+    a sentinel in a LATER row survives (proof the per-row derivation is
+    skipped), while row 0 must agree with the requested mode; without
+    reuse the column is recomputed."""
+    from raylink.blocking import add_block_keys, make_block_key
 
+    good = make_block_key({"t": "ankara caddesi 5"}, "t", "prefix4")
     ds = rd.from_items(
-        [{"t": "ankara caddesi 5", "block_key": "SENTINEL"}])
-    kept = add_block_keys(ds, "t", "prefix4", allow_single_bucket=True,
-                          reuse=True).take_all()
-    assert kept[0]["block_key"] == "SENTINEL"
+        [{"t": "ankara caddesi 5", "block_key": good},
+         {"t": "izmir sokak 9", "block_key": "SENTINEL"}]
+    ).repartition(1)
+    kept = {r["t"]: r["block_key"]
+            for r in add_block_keys(ds, "t", "prefix4",
+                                    allow_single_bucket=True,
+                                    reuse=True).take_all()}
+    assert kept["izmir sokak 9"] == "SENTINEL"
+    assert kept["ankara caddesi 5"] == good
     fresh = add_block_keys(ds, "t", "prefix4", allow_single_bucket=True,
                            reuse=False).take_all()
-    assert fresh[0]["block_key"] == "anka"
+    assert {r["block_key"] for r in fresh} == {"anka", "izmi"}
     # reuse=True on a dataset WITHOUT the column still derives it
     ds2 = rd.from_items([{"t": "ankara caddesi 5"}])
     derived = add_block_keys(ds2, "t", "prefix4",
@@ -378,3 +386,19 @@ def test_near_dup_dedup_removes_non_canonical():
     kept = near_dup_dedup(rd.from_items(rows), "text", "doc_id",
                           jaccard_threshold=0.8).to_pandas()
     assert sorted(kept["doc_id"]) == ["a1", "b1"]
+
+
+def test_block_key_reuse_verified():
+    """ADVICE r2 #4: reuse=True spot-checks the existing block_key
+    against the requested mode (row 0) and raises on stale keys."""
+    from raylink.blocking import add_block_keys, make_block_key
+
+    txt = "akasya mahalle no 12"
+    good = make_block_key({"t": txt}, "t", "prefix6")
+    ok = rd.from_items([{"t": txt, "block_key": good}])
+    out = add_block_keys(ok, "t", "prefix6", reuse=True).take_all()
+    assert out[0]["block_key"] == good
+
+    stale = rd.from_items([{"t": txt, "block_key": "digits|stale"}])
+    with pytest.raises(Exception, match="different block_by"):
+        add_block_keys(stale, "t", "prefix6", reuse=True).take_all()
