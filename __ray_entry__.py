@@ -152,10 +152,8 @@ def q_revenue_by_nation(sf_dir: str):
     orders = orders.map_batches(cents, batch_format="pyarrow")
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
-    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                  num_partitions=8)
-    j = hash_join(j, nation, on="c_nationkey", right_on="n_nationkey",
-                  num_partitions=8)
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    j = hash_join(j, nation, on="c_nationkey", right_on="n_nationkey")
     return (
         j.groupby("n_name")
         .aggregate(
@@ -177,7 +175,7 @@ def q_customers_without_orders(sf_dir: str):
 
     return shuffle_anti_join(
         cust, orders.map_batches(high, batch_format="pyarrow"),
-        on="c_custkey", num_partitions=8)
+        on="c_custkey")
 
 
 def q_suppliers_with_lineitems(sf_dir: str):
@@ -963,9 +961,11 @@ def q_weak_label_pages(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary media columns -> actor-pool decode
-    stub -> fixed-size features (deterministic fake decode; the Ray
-    plumbing — schema, batch size, actor signature — is real)."""
+    """Multimodal columns: binary media payloads -> actor-pool decode
+    -> fixed-size features. The fixture's image payloads are REAL PNGs
+    decoded by raylink.mediacodec (stdlib zlib + numpy — strict=True
+    would also pass here); only JPEG/MP4 decode remains a declared
+    stub."""
     from raylink.multimodal import build_media_fixture, decode_images
 
     media = rd.from_arrow(build_media_fixture(128))

@@ -55,11 +55,50 @@ def run_bench() -> dict:
     dset = pads.dataset(pages_path)  # file or directory of shards
     n_pages = dset.count_rows()
     # warm the OS page cache so we measure compute+shuffle, not cold
-    # disk; stream batches instead of holding the table in RAM
+    # disk; stream batches instead of holding the table in RAM — the
+    # sf tables the secondary queries read get the same treatment (a
+    # cold lineitem read added ~3 s to whichever query ran first)
     for _ in dset.to_batches():
         pass
+    for table in ("lineitem", "orders", "customer", "nation",
+                  "documents", "embeddings", "events"):
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.exists(path):
+            for _ in pads.dataset(path).to_batches():
+                pass
 
     timings: dict[str, float] = {}
+
+    # secondary pipelines run FIRST, in a pristine session (VERDICT r2
+    # #2 root cause of the r1->r2 micro-query drift: running them after
+    # the 4.88M-page linkage left the object store full of
+    # just-released edge/cluster blocks whose async cleanup — plus
+    # spilled-object deletion IO — taxed the small queries ~2x;
+    # measured r3: revenue_by_nation 13.2 s after linkage vs 5.2 s
+    # fresh). The linkage headline is unaffected by query order — it is
+    # 30x the size of everything the secondaries leave behind.
+    secondary = [
+        ("pricing_summary", entrymod.q_pricing_summary),
+        ("revenue_by_nation", entrymod.q_revenue_by_nation),
+        ("doc_dedup_exact", entrymod.q_doc_dedup_exact),
+        ("minhash_pairs", entrymod.q_minhash_pairs),
+        ("token_frequencies", entrymod.q_token_frequencies),
+        ("knn_bruteforce", entrymod.q_knn_bruteforce),
+        ("doc_quality_score", entrymod.q_doc_quality_score),
+        ("events_tumbling_window", entrymod.q_events_tumbling_window),
+    ]
+    rd.range(1000).count()  # absorb one-time session/executor warmup
+    for name, fn in secondary:
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del res
+
+    import gc
+
+    gc.collect()
 
     t0 = time.perf_counter()
     pages = rd.read_parquet(pages_path, columns=["url", "html"])
@@ -71,31 +110,6 @@ def run_bench() -> dict:
     n_clusters = out["clusters"].count()
     headline = time.perf_counter() - t0
     timings["linkage_e2e"] = round(headline, 3)
-
-    # drop the pinned linkage datasets (materialized prepared + 4.4M
-    # edges) before the secondary pipelines: holding them in the object
-    # store roughly doubled minhash's in-bench wall vs standalone
-    del out, pages
-    import gc
-
-    gc.collect()
-
-    secondary = [
-        ("pricing_summary", entrymod.q_pricing_summary),
-        ("revenue_by_nation", entrymod.q_revenue_by_nation),
-        ("doc_dedup_exact", entrymod.q_doc_dedup_exact),
-        ("minhash_pairs", entrymod.q_minhash_pairs),
-        ("token_frequencies", entrymod.q_token_frequencies),
-        ("knn_bruteforce", entrymod.q_knn_bruteforce),
-        ("doc_quality_score", entrymod.q_doc_quality_score),
-        ("events_tumbling_window", entrymod.q_events_tumbling_window),
-    ]
-    for name, fn in secondary:
-        t0 = time.perf_counter()
-        res = fn(sf_dir)
-        if hasattr(res, "count"):
-            res.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
 
     return {
         "metric": "linkage_e2e_sec",
@@ -149,17 +163,21 @@ def _hardware_cpu_ceiling(n_lo: int, n_hi: int) -> float:
 def run_scaling() -> dict:
     """Fresh processes at two CPU counts (env RAYLINK_SCALING_CPUS,
     default "8,32") over the same input — the sandbox proxy for the
-    N vs 4N cluster-size criterion. Each size runs twice and the best
-    throughput is kept (single-VM scheduling noise is +-8% run to run;
-    best-of is applied symmetrically to BOTH sizes). A no-Ray
-    multiprocessing control measures the VM's own CPU-scaling ceiling
-    for allocation-heavy Python so the Ray number can be read against
-    what the hardware permits."""
+    N vs 4N cluster-size criterion. Each size runs twice; the headline
+    keeps the best throughput (single-VM scheduling noise is +-8% run
+    to run; best-of is applied symmetrically to BOTH sizes) while ALL
+    raw runs and a mean-based efficiency are reported alongside so the
+    dispersion is visible (ADVICE r2 #5). A no-Ray multiprocessing
+    control measures the VM's own CPU-scaling ceiling for
+    allocation-heavy Python so the Ray number can be read against what
+    the hardware permits; efficiency_vs_hardware is unclamped."""
     pair = os.environ.get("RAYLINK_SCALING_CPUS", "8,32")
     n_lo, n_hi = (int(x) for x in pair.split(","))
     results: dict[int, dict] = {}
+    all_runs: dict[int, list[float]] = {}
     for ncpu in (n_lo, n_hi):
         best = None
+        all_runs[ncpu] = []
         for _ in range(2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
@@ -167,6 +185,7 @@ def run_scaling() -> dict:
                 capture_output=True, text=True, check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            all_runs[ncpu].append(r["pages_per_sec"])
             if best is None or r["pages_per_sec"] > best["pages_per_sec"]:
                 best = r
         results[ncpu] = best
@@ -174,6 +193,14 @@ def run_scaling() -> dict:
     thr_lo = results[n_lo]["pages_per_sec"]
     thr_hi = results[n_hi]["pages_per_sec"]
     eff = thr_hi / (ratio * thr_lo)
+    # ADVICE r2 #5: publish every raw run next to the best-of headline
+    # (so the dispersion is visible) and a mean-based efficiency that a
+    # reader can compare across rounds; efficiency_vs_hardware is
+    # UNCLAMPED — readings > 1.0 expose noise in the no-Ray control
+    # rather than being silently truncated.
+    mean_lo = sum(all_runs[n_lo]) / len(all_runs[n_lo])
+    mean_hi = sum(all_runs[n_hi]) / len(all_runs[n_hi])
+    eff_mean = mean_hi / (ratio * mean_lo)
     hw_eff = _hardware_cpu_ceiling(n_lo, n_hi)
     return {
         "metric": "scaling_efficiency",
@@ -184,8 +211,10 @@ def run_scaling() -> dict:
         f"sec_{n_hi}cpu": results[n_hi]["value"],
         f"pages_per_sec_{n_lo}cpu": thr_lo,
         f"pages_per_sec_{n_hi}cpu": thr_hi,
+        "runs_pages_per_sec": {str(n): all_runs[n] for n in (n_lo, n_hi)},
+        "efficiency_mean": round(eff_mean, 3),
         "hardware_cpu_ceiling": round(hw_eff, 3),
-        "efficiency_vs_hardware": round(min(1.0, eff / hw_eff), 3)
+        "efficiency_vs_hardware": round(eff / hw_eff, 3)
         if hw_eff else None,
         "pages": results[n_hi]["pages"],
         "sf": results[n_hi]["sf"],
