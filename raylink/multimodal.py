@@ -1,13 +1,15 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+"""Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
-environment — see DecodeImage.decode): they either raise
-NotImplementedError (strict mode) or produce a deterministic fake
-derived from the bytes, so the Ray-side plumbing — schema, small batch
-sizes for large payloads, actor signature, output layout — is real and
-tested end-to-end.
+Decode is REAL for the formats the standard library can express —
+PNG / BMP images and PCM WAV audio, via raylink.mediacodec (zlib +
+wave + numpy; no PIL/opencv/ffmpeg needed). Formats whose decoders
+genuinely require external libraries (JPEG entropy decode, MP4/H.264
+frame extraction) remain declared stubs: strict mode raises
+NotImplementedError, non-strict falls back to a deterministic fake so
+the Ray-side plumbing (schema, small batch sizes for large payloads,
+actor signature, output layout) stays testable end-to-end either way.
 """
 
 from __future__ import annotations
@@ -16,6 +18,15 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from .mediacodec import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    sniff_media,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -31,22 +42,43 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _fake_pixels(data: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in decode: seed a PRNG from the payload hash.
-
-    Replace with a real decoder (PIL.Image.open etc.) when the library
-    is available; the surrounding plumbing is unchanged."""
+    """Deterministic stand-in decode for formats without a stdlib
+    decoder (JPEG): seed a PRNG from the payload hash."""
     seed = int.from_bytes(hashlib.blake2b(data, digest_size=4).digest(),
                           "big")
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-class DecodeImage:
-    """Actor-pool stage: binary payload -> fixed-size feature vector.
+def _block_mean_resize(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Deterministic block-mean downsample, vectorized: two
+    np.add.reduceat passes over the bin edges (no per-cell loop)."""
+    h, w = gray.shape
+    # degenerate upsample (output larger than input): nearest-neighbor
+    # repeat first so every output bin spans >= 1 source row/col
+    if h < oh:
+        gray = np.repeat(gray, -(-oh // h), axis=0)
+        h = gray.shape[0]
+    if w < ow:
+        gray = np.repeat(gray, -(-ow // w), axis=1)
+        w = gray.shape[1]
+    ys = np.linspace(0, h, oh + 1, dtype=int)
+    xs = np.linspace(0, w, ow + 1, dtype=int)
+    rows = np.add.reduceat(gray.astype(np.float64), ys[:-1], axis=0)
+    cells = np.add.reduceat(rows, xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs))
+    return (cells / counts).astype(np.float32)
 
-    __init__ holds the (stub) decoder state; __call__ maps a batch.
-    Use small ``batch_size`` (e.g. 64) — payloads are large and
-    batch_size * concurrency blocks must fit the worker heap."""
+
+class DecodeImage:
+    """Actor-pool stage: binary image payload -> fixed-size feature
+    vector (block-mean grayscale thumbnail).
+
+    PNG and BMP payloads are REALLY decoded (raylink.mediacodec);
+    other formats raise in strict mode or fall back to the
+    deterministic fake. Use small ``batch_size`` (e.g. 64) — payloads
+    are large and batch_size * concurrency blocks must fit the worker
+    heap."""
 
     def __init__(self, out_size: tuple[int, int] = (8, 8),
                  strict: bool = False):
@@ -54,11 +86,20 @@ class DecodeImage:
         self.strict = strict
 
     def decode(self, data: bytes, width: int, height: int) -> np.ndarray:
-        if self.strict:
+        kind = sniff_media(data)
+        if kind == "png":
+            px = decode_png(data)
+        elif kind == "bmp":
+            px = decode_bmp(data)
+        elif self.strict:
             raise NotImplementedError(
-                "real image decoding requires PIL/opencv, not present in "
-                "this environment")
-        return _fake_pixels(data, max(width, 1), max(height, 1))
+                f"no stdlib decoder for {kind!r} payloads (JPEG/MP4 "
+                f"need libjpeg/ffmpeg, not present in this environment)")
+        else:
+            return _fake_pixels(data, max(width, 1), max(height, 1))
+        if px.ndim == 2:                       # grayscale -> 3 channel
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px[:, :, :3]                    # drop alpha if present
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -68,17 +109,9 @@ class DecodeImage:
         ow, oh = self.out_size
         for data, w, h in zip(payloads, widths, heights):
             px = self.decode(data or b"", w or 1, h or 1)
-            # "resize": deterministic block-mean downsample to out_size
-            ys = np.linspace(0, px.shape[0], oh + 1, dtype=int)
-            xs = np.linspace(0, px.shape[1], ow + 1, dtype=int)
-            small = np.zeros((oh, ow), dtype=np.float32)
             gray = px.mean(axis=2)
-            for i in range(oh):
-                for j in range(ow):
-                    blockm = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                  xs[j]:max(xs[j + 1], xs[j] + 1)]
-                    small[i, j] = float(blockm.mean())
-            feats.append(small.flatten().tolist())
+            feats.append(
+                _block_mean_resize(gray, oh, ow).flatten().tolist())
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -87,9 +120,62 @@ class DecodeImage:
         )
 
 
+class AudioFeatures:
+    """Actor-pool stage: binary audio payload -> scalar features
+    (duration, RMS, zero-crossing rate, spectral centroid).
+
+    PCM WAV payloads are REALLY decoded via the stdlib wave module;
+    other containers raise in strict mode or produce deterministic
+    fake features."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def features(self, data: bytes) -> tuple[float, float, float, float]:
+        if sniff_media(data) != "wav":
+            if self.strict:
+                raise NotImplementedError(
+                    "no stdlib decoder for non-WAV audio payloads")
+            seed = int.from_bytes(
+                hashlib.blake2b(data, digest_size=4).digest(), "big")
+            rng = np.random.RandomState(seed)
+            return (float(rng.uniform(0.5, 10.0)),
+                    float(rng.uniform(0, 1)), float(rng.uniform(0, 1)),
+                    float(rng.uniform(0, 8000)))
+        samples, rate = decode_wav(data)
+        mono = samples.mean(axis=1)
+        dur = len(mono) / rate if rate else 0.0
+        rms = float(np.sqrt(np.mean(mono ** 2))) if len(mono) else 0.0
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) \
+            if len(mono) > 1 else 0.0
+        if len(mono) > 1:
+            spec = np.abs(np.fft.rfft(mono))
+            freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+            total = spec.sum()
+            centroid = float((freqs * spec).sum() / total) if total else 0.0
+        else:
+            centroid = 0.0
+        return dur, rms, zcr, centroid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.features(d or b"")
+                 for d in batch.column("payload").to_pylist()]
+        cols = list(zip(*feats)) if feats else ([], [], [], [])
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "duration_s": pa.array(cols[0], pa.float32()),
+                "rms": pa.array(cols[1], pa.float32()),
+                "zero_crossing_rate": pa.array(cols[2], pa.float32()),
+                "spectral_centroid_hz": pa.array(cols[3], pa.float32()),
+            }
+        )
+
+
 class SampleFrames:
-    """Video frame sampling stub: emits every-N 'frame' payload slices
-    with deterministic offsets (real impl would call ffmpeg)."""
+    """Video frame sampling STUB: emits every-N 'frame' payload slices
+    with deterministic offsets (a real impl needs ffmpeg, not present
+    in this environment)."""
 
     def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms
@@ -116,10 +202,23 @@ class SampleFrames:
 
 
 def decode_images(ds, concurrency: int = 2, batch_size: int = 64,
-                  out_size: tuple[int, int] = (8, 8)):
+                  out_size: tuple[int, int] = (8, 8),
+                  strict: bool = False):
     return ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"out_size": out_size},
+        fn_constructor_kwargs={"out_size": out_size, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def audio_features(ds, concurrency: int = 2, batch_size: int = 64,
+                   strict: bool = False):
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -140,20 +239,49 @@ def sample_frames(ds, concurrency: int = 2, batch_size: int = 32,
 
 
 def build_media_fixture(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic media table for tests (binary payloads derived
-    from sha256, typed metadata)."""
+    """Deterministic media table for tests. Image payloads are REAL
+    PNGs (seeded gradient+noise pixels), audio payloads are REAL PCM
+    WAVs (seeded sine tones); video payloads stay opaque bytes (the
+    frame sampler is a declared stub)."""
     ids, kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
     for i in range(n):
-        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        rng = np.random.RandomState(seed * 100_003 + i)
         kind = ("image", "audio", "video")[i % 3]
         ids.append(f"m{i}")
         kinds.append(kind)
-        payloads.append(h * (8 + i % 5))
-        mimes.append({"image": "image/png", "audio": "audio/wav",
-                      "video": "video/mp4"}[kind])
-        ws.append(32 + (i % 4) * 16 if kind == "image" else 0)
-        hs.append(24 + (i % 3) * 16 if kind == "image" else 0)
-        durs.append(3000 + 500 * (i % 7) if kind != "image" else 0)
+        if kind == "image":
+            w = 32 + (i % 4) * 16
+            h = 24 + (i % 3) * 16
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((xx * 255 // max(w - 1, 1))[:, :, None] *
+                  np.array([1, 0, 0]) +
+                  (yy * 255 // max(h - 1, 1))[:, :, None] *
+                  np.array([0, 1, 0]))
+            px = (px + rng.randint(0, 64, size=(h, w, 3))).clip(0, 255)
+            payloads.append(encode_png(px.astype(np.uint8)))
+            mimes.append("image/png")
+            ws.append(w)
+            hs.append(h)
+            durs.append(0)
+        elif kind == "audio":
+            dur_ms = 300 + 50 * (i % 7)
+            rate = 8000
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            freq = 220.0 * (1 + i % 5)
+            tone = 0.5 * np.sin(2 * np.pi * freq * t) \
+                + 0.05 * rng.standard_normal(len(t))
+            payloads.append(encode_wav(tone, rate))
+            mimes.append("audio/wav")
+            ws.append(0)
+            hs.append(0)
+            durs.append(dur_ms)
+        else:
+            h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            payloads.append(h * (8 + i % 5))
+            mimes.append("video/mp4")
+            ws.append(0)
+            hs.append(0)
+            durs.append(3000 + 500 * (i % 7))
     return pa.table(
         {
             "media_id": pa.array(ids), "kind": pa.array(kinds),
