@@ -321,6 +321,50 @@ def q_event_sessions(sf_dir: str, num_buckets: int = 64):
     )
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of (point-in-time) join: each purchase event picks the same
+    user's most recent click at-or-before the purchase timestamp —
+    raylink.joins.asof_join (hash-bucketed co-shuffle + per-bucket
+    C-level merge_asof; Ray Data has no native as-of join). Oracle:
+    DuckDB ``ASOF JOIN``. The events fixture has no duplicate
+    (user_id, ts) click pairs at any sf, so tie order cannot diverge
+    between the engine and the oracle."""
+    from raylink.joins import asof_join
+
+    ev = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(et):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], et)) \
+                .drop_columns(["event_type"])
+        return f
+
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id",
+                       suffix="_click")
+
+    # hash-stable projection (same convention as the window queries:
+    # timestamps -> epoch-us bigints, floats -> 1e-3 bigints)
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "value_milli": pc.cast(
+                pc.round(pc.multiply(t["value"], 1000.0)), pa.int64()),
+            "click_event_id": t["event_id_click"],
+            "click_ts_us": pc.cast(pc.cast(t["ts_click"], pa.timestamp("us")),
+                                   pa.int64()),
+            "click_value_milli": pc.cast(
+                pc.round(pc.multiply(t["value_click"], 1000.0)), pa.int64()),
+        })
+
+    return joined.map_batches(proj, batch_format="pyarrow")
+
+
 def q_distinct_event_types(sf_dir: str):
     ev = _t(sf_dir, "events", ["event_type"])
     return ev.groupby("event_type").aggregate(Count(alias_name="n"))
@@ -1112,12 +1156,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        # pages_extract and random_sample are deliberately NOT gate
-        # queries (the driver records at most 50): extract is exercised
-        # inside pages_parse / linkage_* and by pytest
-        # (test_extract_inverts_fixture_html); seeded sampling is
-        # covered by union_sample's oracle + the seed-determinism test.
-        "pages_parse": q_pages_parse,
+        # pages_extract, pages_parse and random_sample are deliberately
+        # NOT gate queries (the driver records at most 50): extract +
+        # full-column parse are exercised inside pages_parse_sql /
+        # linkage_* and by pytest (test_extract_inverts_fixture_html,
+        # parser golden vectors); seeded sampling is covered by
+        # union_sample's oracle + the seed-determinism test. Their
+        # slots carry the SQL-oracled pages_parse_sql and
+        # events_asof_join instead.
+        "events_asof_join": q_events_asof_join,
         "pages_parse_sql": q_pages_parse_sql,
         "linkage_edges": q_linkage_edges,
         "linkage_clusters": q_linkage_clusters,
@@ -1365,6 +1412,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_events,
                    CAST(SUM(new_session) AS BIGINT) AS n_sessions
             FROM ordered GROUP BY user_id
+        """,
+        "events_asof_join": """
+            WITH p AS (
+              SELECT event_id, ts, user_id, value FROM events
+              WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT event_id, ts, user_id, value FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id,
+              epoch_us(p.ts) AS ts_us,
+              CAST(ROUND(p.value*1000) AS BIGINT) AS value_milli,
+              c.event_id AS click_event_id,
+              epoch_us(c.ts) AS click_ts_us,
+              CAST(ROUND(c.value*1000) AS BIGINT) AS click_value_milli
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "distinct_event_types": """
             SELECT event_type, COUNT(*) AS n FROM events

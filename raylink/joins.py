@@ -171,3 +171,114 @@ def positional_join(left, right, left_id: str, right_id: str,
             for i in range(n)
         ]
     )
+
+
+def asof_join(left, right, on: str, by: str,
+              suffix: str = "_r", direction: str = "backward",
+              num_buckets: int = 64, keep_unmatched: bool = False):
+    """Distributed as-of join (Ray Data has no native one): for each
+    left row, attach the nearest right row with ``right.on <= left.on``
+    (direction="backward"; "forward" flips the inequality) among rows
+    sharing the same ``by`` key — the streaming/point-in-time join
+    DuckDB spells ``ASOF JOIN`` and pandas ``merge_asof``.
+
+    Scale shape: ONE co-shuffle. Both sides are tagged and hash-bucketed
+    on ``by`` into <= ``num_buckets`` groups (same bounded-bucket
+    pattern as the session/topk operators — never one pandas frame per
+    key), then each bucket is resolved with a single C-level
+    ``pd.merge_asof`` over the sorted bucket. Partitioning assumption:
+    each bucket (sum of both sides for its key range) fits one worker's
+    heap; raise ``num_buckets`` for bigger inputs or saltier keys.
+
+    Right columns (except ``by``) are renamed with ``suffix``. Ties on
+    (by, on) pick the LAST right row in (on, original order) — callers
+    needing a deterministic tiebreak should pre-dedupe the right side.
+    With ``keep_unmatched=False`` (default) unmatched left rows are
+    dropped (DuckDB's inner ``ASOF JOIN``); True keeps them with nulls
+    (``ASOF LEFT JOIN``), and integer right columns become float64
+    (pandas NaN) — cast downstream if needed."""
+    import numpy as np
+    import pandas as pd
+
+    def _pa_schema(ds) -> pa.Schema:
+        s = ds.schema()  # ray.data.Schema wrapper, not pyarrow
+        return pa.schema(list(zip(s.names, s.types)))
+
+    left_schema = _pa_schema(left)
+    right_schema = _pa_schema(right)
+    lcols = list(left_schema.names)
+    rcols = [c for c in right_schema.names if c != by]
+    ren = {c: c + suffix for c in rcols}
+    out_on_r = ren[on] if on in ren else on
+    # ONE pinned union schema (both sides null-pad the other's columns
+    # — unioning two different schemas breaks the groupby shuffle)
+    full = pa.schema(
+        [left_schema.field(by)]
+        + [left_schema.field(c) for c in lcols if c != by]
+        + [right_schema.field(c).with_name(ren[c]) for c in rcols]
+        + [pa.field("_ab", pa.int32()), pa.field("_aside", pa.int8())]
+    )
+
+    def tag(side: int, renames):
+        def fn(t: pa.Table) -> pa.Table:
+            if renames:
+                t = t.rename_columns(
+                    [renames.get(c, c) for c in t.column_names])
+            n = t.num_rows
+            hb = np.asarray(
+                pd.util.hash_array(
+                    t.column(by).to_numpy(zero_copy_only=False),
+                    categorize=False) % np.uint64(num_buckets),
+                dtype=np.int32)
+            t = t.append_column("_ab", pa.array(hb))
+            t = t.append_column(
+                "_aside", pa.array(np.full(n, side, dtype=np.int8)))
+            cols = [
+                t.column(f.name) if f.name in t.column_names
+                else pa.nulls(n, f.type)
+                for f in full
+            ]
+            return pa.Table.from_arrays(cols, schema=full)
+        return fn
+
+    tagged = left.map_batches(tag(0, None), batch_format="pyarrow") \
+        .union(right.map_batches(tag(1, ren), batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in lcols]
+        + [right_schema.field(c).with_name(ren[c]) for c in rcols]
+    )
+    out_cols = [f.name for f in out_schema]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if "_aside" not in g.columns or len(g) == 0:
+            # pinned empty schema — schema-less blocks break downstream ops
+            return out_schema.empty_table().to_pandas()
+        lf = g[g["_aside"] == 0][lcols].sort_values(
+            on, kind="mergesort").reset_index(drop=True)
+        rf = g[g["_aside"] == 1][[by] + [ren[c] for c in rcols]]
+        rf = rf.sort_values(out_on_r, kind="mergesort") \
+            .reset_index(drop=True)
+        # restore int dtypes (the null-padded union upcasts the other
+        # side's int columns to float)
+        for c in lcols:
+            if pa.types.is_integer(left_schema.field(c).type):
+                lf[c] = lf[c].astype("int64")
+        for c in rcols:
+            if pa.types.is_integer(right_schema.field(c).type):
+                rf[ren[c]] = rf[ren[c]].astype("int64")
+        if pa.types.is_integer(left_schema.field(by).type):
+            rf[by] = rf[by].astype("int64")
+        out = pd.merge_asof(lf, rf, left_on=on, right_on=out_on_r,
+                            by=by, direction=direction)
+        if not keep_unmatched:
+            out = out.dropna(subset=[out_on_r])
+            for c in rcols:
+                if pa.types.is_integer(right_schema.field(c).type):
+                    out[ren[c]] = out[ren[c]].astype("int64")
+        return out[out_cols]
+
+    return (
+        tagged.groupby("_ab")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

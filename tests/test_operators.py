@@ -402,3 +402,51 @@ def test_block_key_reuse_verified():
     stale = rd.from_items([{"t": txt, "block_key": "digits|stale"}])
     with pytest.raises(Exception, match="different block_by"):
         add_block_keys(stale, "t", "prefix6", reuse=True).take_all()
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    """asof_join (hash-bucketed co-shuffle + per-bucket merge_asof) must
+    reproduce a single-frame pd.merge_asof on every direction/unmatched
+    combination, regardless of bucketing."""
+    from raylink.joins import asof_join
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 400, 600
+    left = pd.DataFrame({
+        "uid": rng.randint(0, 37, n_l).astype("int64"),
+        "t": rng.randint(0, 10_000, n_l).astype("int64"),
+        "lval": rng.randn(n_l),
+    })
+    right = pd.DataFrame({
+        "uid": rng.randint(0, 41, n_r).astype("int64"),  # some uids only on one side
+        "t": rng.randint(0, 10_000, n_r).astype("int64"),
+        "rid": np.arange(n_r, dtype="int64"),
+    })
+    # merge_asof needs unique (uid, t) on the right for a deterministic pick
+    right = right.drop_duplicates(["uid", "t"]).reset_index(drop=True)
+
+    for direction in ("backward", "forward"):
+        for keep in (False, True):
+            got = asof_join(
+                rd.from_pandas(left).repartition(5),
+                rd.from_pandas(right).repartition(7),
+                on="t", by="uid", suffix="_r",
+                direction=direction, num_buckets=8,
+                keep_unmatched=keep,
+            ).to_pandas()
+
+            exp = pd.merge_asof(
+                left.sort_values("t", kind="mergesort"),
+                right.sort_values("t", kind="mergesort")
+                    .rename(columns={"t": "t_r", "rid": "rid_r"}),
+                left_on="t", right_on="t_r", by="uid",
+                direction=direction,
+            )
+            if not keep:
+                exp = exp.dropna(subset=["t_r"])
+                exp = exp.astype({"t_r": "int64", "rid_r": "int64"})
+
+            key = ["uid", "t", "lval", "t_r", "rid_r"]
+            got_s = got[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+            exp_s = exp[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=not keep)
