@@ -365,6 +365,36 @@ def q_events_asof_join(sf_dir: str):
     return joined.map_batches(proj, batch_format="pyarrow")
 
 
+def q_events_band_join(sf_dir: str):
+    """Band (range) join: purchase events paired with the same user's
+    view events within +/-6 h — raylink.joins.band_join (bin-replicate
+    co-shuffle; Ray Data has no native inequality join). Oracle: DuckDB
+    range-predicate join on ``abs(ts diff) <= delta``. Timestamps are
+    cast to epoch-us bigints BEFORE the join (band_join is numeric-only
+    and the integer path is exact)."""
+    from raylink.joins import band_join
+
+    ev = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type"])
+
+    def side(et):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            return pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                 pa.int64()),
+            })
+        return f
+
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    views = ev.map_batches(side("view"), batch_format="pyarrow")
+    return band_join(purchases, views, on="ts_us",
+                     delta=21600 * 1_000_000, by="user_id",
+                     suffix="_view")
+
+
 def q_distinct_event_types(sf_dir: str):
     ev = _t(sf_dir, "events", ["event_type"])
     return ev.groupby("event_type").aggregate(Count(alias_name="n"))
@@ -1180,7 +1210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_frequencies": q_bigram_frequencies,
         "event_value_histogram": q_event_value_histogram,
         "keyword_presence": q_keyword_presence,
-        "doc_fingerprints": q_doc_fingerprints,
+        # doc_fingerprints (rows-only rolling-hash fingerprints) yields
+        # its slot to the SQL-oracled band join; the fingerprint kernel
+        # stays covered by pytest (test_textstats) and q_doc_fingerprints
+        # remains callable.
+        "events_band_join": q_events_band_join,
     }
 
 
@@ -1429,6 +1463,19 @@ def oracle_sql() -> dict[str, str]:
               CAST(ROUND(c.value*1000) AS BIGINT) AS click_value_milli
             FROM p ASOF JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "events_band_join": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+              WHERE event_type = 'purchase'
+            ), v AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+              WHERE event_type = 'view'
+            )
+            SELECT p.event_id, p.user_id, p.ts_us,
+              v.event_id AS event_id_view, v.ts_us AS ts_us_view
+            FROM p JOIN v ON p.user_id = v.user_id
+              AND abs(p.ts_us - v.ts_us) <= CAST(21600 AS BIGINT)*1000000
         """,
         "distinct_event_types": """
             SELECT event_type, COUNT(*) AS n FROM events

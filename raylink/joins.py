@@ -282,3 +282,128 @@ def asof_join(left, right, on: str, by: str,
         tagged.groupby("_ab")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+def band_join(left, right, on: str, delta, by: str | None = None,
+              suffix: str = "_r", num_buckets: int = 64):
+    """Distributed band (range) join: all pairs (l, r) with
+    ``|l.on - r.on| <= delta``, optionally restricted to rows sharing a
+    ``by`` key — the range predicate DuckDB spells
+    ``JOIN ... ON abs(l.x - r.x) <= d`` (Ray Data has no native
+    inequality join). ``on`` must be numeric on both sides (cast
+    timestamps to epoch integers first); ``delta`` must be > 0.
+
+    Scale shape: ONE co-shuffle, bounded replication. Values are binned
+    at width ``delta``; a qualifying pair's bins differ by at most 1,
+    so the RIGHT side is replicated to its 3 adjacent bins (x3, one
+    side only) and an equi-join on ([by,] bin) meets every qualifying
+    pair EXACTLY once (the left row's own bin picks one replica), then
+    the exact ``|diff| <= delta`` filter runs vectorized per bucket.
+    (bin, by) pairs are hash-bucketed into <= ``num_buckets`` shuffle
+    groups; each bucket resolves with one C-level pandas merge — never
+    one frame per key. Partitioning assumption: the rows of any single
+    bucket (x3 right replicas included) fit one worker's heap; raise
+    ``num_buckets`` for bigger inputs, and note a band much wider than
+    the value spread degenerates to a cross join by construction.
+
+    ALL right columns (including ``on``) are renamed with ``suffix``;
+    ``by`` is kept once. Inner join: left rows with no partner are
+    dropped."""
+    import numpy as np
+    import pandas as pd
+
+    if not delta > 0:
+        raise ValueError("band_join: delta must be > 0")
+
+    def _pa_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        return pa.schema(list(zip(s.names, s.types)))
+
+    left_schema = _pa_schema(left)
+    right_schema = _pa_schema(right)
+    lcols = list(left_schema.names)
+    rcols = [c for c in right_schema.names if c != by]
+    ren = {c: c + suffix for c in rcols}
+    keycols = ([by] if by else [])
+
+    full = pa.schema(
+        ([left_schema.field(by)] if by else [])
+        + [left_schema.field(c) for c in lcols if c != by]
+        + [right_schema.field(c).with_name(ren[c]) for c in rcols]
+        + [pa.field("_bin", pa.int64()), pa.field("_bb", pa.int32()),
+           pa.field("_bside", pa.int8())]
+    )
+
+    def bucket_of(bins: "np.ndarray", t: pa.Table) -> "np.ndarray":
+        h = bins.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        if by:
+            h = h + pd.util.hash_array(
+                t.column(by).to_numpy(zero_copy_only=False),
+                categorize=False)
+        return (h % np.uint64(num_buckets)).astype(np.int32)
+
+    def pad(t: pa.Table, bins, side: int) -> pa.Table:
+        n = t.num_rows
+        t = t.append_column("_bin", pa.array(bins, pa.int64()))
+        t = t.append_column("_bb", pa.array(bucket_of(bins, t)))
+        t = t.append_column(
+            "_bside", pa.array(np.full(n, side, dtype=np.int8)))
+        cols = [
+            t.column(f.name) if f.name in t.column_names
+            else pa.nulls(n, f.type)
+            for f in full
+        ]
+        return pa.Table.from_arrays(cols, schema=full)
+
+    def binned(v: "np.ndarray") -> "np.ndarray":
+        # int64 epochs exceed float64's 2^53 exact range — keep the
+        # integer path integer (exact), floats use float floor-div
+        if v.dtype.kind in "iu" and float(delta) == int(delta):
+            return np.floor_divide(v.astype(np.int64), int(delta))
+        return np.floor_divide(v.astype(np.float64),
+                               float(delta)).astype(np.int64)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        v = t.column(on).to_numpy(zero_copy_only=False)
+        return pad(t, binned(v), 0)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([ren.get(c, c) for c in t.column_names])
+        v = t.column(ren[on]).to_numpy(zero_copy_only=False)
+        b = binned(v)
+        reps = [pad(t, b + off, 1) for off in (-1, 0, 1)]
+        return pa.concat_tables(reps)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow") \
+        .union(right.map_batches(tag_right, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in lcols]
+        + [right_schema.field(c).with_name(ren[c]) for c in rcols]
+    )
+    out_cols = [f.name for f in out_schema]
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # Split sides BEFORE any pandas conversion: the null-padded
+        # union would turn int64-with-nulls into float64, which is
+        # lossy beyond 2^53 (epoch-us timestamps), breaking both the
+        # merge keys and the |diff| <= delta filter. Each side's own
+        # columns are null-free, so per-side to_pandas keeps int64.
+        if "_bside" not in g.column_names or g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g.column("_bside")
+        lf = (g.filter(pc.equal(side, 0))
+              .select(lcols + ["_bin"]).to_pandas())
+        rf = (g.filter(pc.equal(side, 1))
+              .select(keycols + [ren[c] for c in rcols] + ["_bin"])
+              .to_pandas())
+        out = lf.merge(rf, on=keycols + ["_bin"], how="inner")
+        keep = (out[on] - out[ren[on]]).abs() <= delta
+        out = out[keep].drop(columns=["_bin"])
+        return pa.Table.from_pandas(
+            out[out_cols], preserve_index=False).cast(out_schema)
+
+    return (
+        tagged.groupby("_bb")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )

@@ -450,3 +450,60 @@ def test_asof_join_matches_pandas_merge_asof():
             got_s = got[key].sort_values(key, kind="mergesort").reset_index(drop=True)
             exp_s = exp[key].sort_values(key, kind="mergesort").reset_index(drop=True)
             pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=not keep)
+
+
+def test_band_join_matches_bruteforce():
+    """band_join (bin-replicate co-shuffle) must produce exactly the
+    brute-force |l-r| <= delta pair set, with and without a by-key,
+    for int and float value columns."""
+    from raylink.joins import band_join
+
+    rng = np.random.RandomState(11)
+    n_l, n_r = 300, 350
+    # large int64 values near the float64 exactness cliff exercise the
+    # integer binning path
+    base = 1_700_000_000_000_000_000
+    left = pd.DataFrame({
+        "uid": rng.randint(0, 9, n_l).astype("int64"),
+        "x": base + rng.randint(0, 5_000, n_l).astype("int64"),
+        "lid": np.arange(n_l, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "uid": rng.randint(0, 9, n_r).astype("int64"),
+        "x": base + rng.randint(0, 5_000, n_r).astype("int64"),
+        "rid": np.arange(n_r, dtype="int64"),
+    })
+    delta = 137
+
+    def brute(by):
+        m = left.merge(right, on=by, suffixes=("", "_r")) if by else \
+            left.merge(right, how="cross", suffixes=("", "_r"))
+        m = m[(m["x"] - m["x_r"]).abs() <= delta]
+        return m
+
+    for by in ("uid", None):
+        got = band_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            on="x", delta=delta, by=by, suffix="_r", num_buckets=16,
+        ).to_pandas()
+        exp = brute(by).rename(columns={"rid": "rid_r"})
+        key = ["lid", "rid_r"]
+        got_k = got[key].sort_values(key).reset_index(drop=True)
+        exp_k = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_k, exp_k.astype("int64"))
+
+    # float path
+    leftf = left.assign(x=left["x"] % 10_000 + rng.rand(n_l))
+    rightf = right.assign(x=right["x"] % 10_000 + rng.rand(n_r))
+    got = band_join(rd.from_pandas(leftf), rd.from_pandas(rightf),
+                    on="x", delta=41.5, by="uid", num_buckets=8
+                    ).to_pandas()
+    m = leftf.merge(rightf, on="uid", suffixes=("", "_r"))
+    exp = m[(m["x"] - m["x_r"]).abs() <= 41.5]
+    assert sorted(zip(got["lid"], got["rid_r"])) == \
+        sorted(zip(exp["lid"], exp["rid"]))
+
+    with pytest.raises(ValueError):
+        band_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="x", delta=0)
