@@ -812,11 +812,13 @@ PARSE_SQL_ENTITIES = 2000  # == entities_for_sf_dir(sf0.01), the gate scale
 
 
 def q_pages_parse_sql(sf_dir: str):
-    """Parse-stage partial SQL oracle (VERDICT r2 #5): run the REAL
-    parse chain (clean_text -> parse_fields -> postprocess_parts,
+    """Parse-stage SQL oracle (VERDICT r2 #5): run the REAL parse
+    chain (clean_text -> parse_fields -> postprocess_parts,
     raylink/parse.py) over the pages fixture and emit the
-    SQL-expressible columns (url, no, daire, kat, il). The DuckDB
-    oracle re-derives them independently with regexp_replace /
+    SQL-expressible columns (url, no, daire, kat, il, and — round 3 —
+    the anchor-captured mahalle/cadde/sokak, whose bounded postprocess
+    token windows unroll into nested CASEs). The DuckDB oracle
+    re-derives them independently with regexp_replace /
     regexp_extract / list lambdas — breaking the circularity where the
     parse stage was only checked by pytest fixtures that share the
     fixture generator with the engine.
@@ -831,7 +833,8 @@ def q_pages_parse_sql(sf_dir: str):
 
     def proj(t: pa.Table) -> pa.Table:
         out = {"url": t.column("url")}
-        for c in ("no", "daire", "kat", "il"):
+        for c in ("no", "daire", "kat", "il", "mahalle", "cadde",
+                  "sokak"):
             # fill_null('') on both sides: the driver canon() casts
             # object columns via astype(str), which would stringify
             # engine None and SQL NULL differently
@@ -1292,7 +1295,10 @@ def _pages_parse_oracle_sql() -> str:
         (r"\bcaddesi\b", "cadde"), (r"\bcd\.?\b", "cadde"),
         (r"\bsok\.?\b", "sokak"), (r"\bsokağı\b", "sokak"),
         (r"\bsk\.?\b", "sokak"), (r"\bbulv?\.?\b", "bulvar"),
-        (r"\bbulvarı\b", "bulvar"), (r"\bno:?", "no "),
+        # \bno must NOT fire after a Turkish letter ('ınonu' stays one
+        # token): Python's \b is unicode, RE2's is ASCII, so spell the
+        # boundary explicitly as a captured [^\pL\pN_] prefix
+        (r"\bbulvarı\b", "bulvar"), (r"(^|[^\pL\pN_])no:?", r"\1no "),
         (r"\bkapı no:?", "no "), (r"\bd[.:]\B", "daire "),
         (r"\bdaire:?", "daire "), (r"\bkat:?", "kat "),
         (r"\bapt\.?\b", "apartman"), (r"\bap\b", "apartman"),
@@ -1307,6 +1313,55 @@ def _pages_parse_oracle_sql() -> str:
     clean = f"trim({e})"
 
     alpha = "'[a-zçğıöşü]+'"
+
+    # mahalle/cadde/sokak (parse.py:192-205 anchored capture, then the
+    # postprocess.py:69-81 before/after token windows). The anchored
+    # lookahead `(?=(stop))` is RE2-illegal; consuming the stop word is
+    # equivalent here because only group 1 is extracted and cleaned
+    # text never ends in whitespace (the `$` branch can't fire after a
+    # required \\s+). Windows: up to 3 tokens walked from the label,
+    # stopping at CUT_WORDS/label words (and any digit when
+    # allow_numeric is false) — expressible as nested CASEs because the
+    # window is bounded.
+    stops = ("mahalle|cadde|sokak|bulvar|no|daire|kat|mevkii|apartman"
+             "|hotel|otel|plaza|blok|işhanı|iş hanı")
+    name_cls = "[a-zğüşiöç0-9 -]"  # parse.py:146 — no dotless ı
+    cutlab = ("['no','daire','kat','mevkii','il','ilçe','ilce',"
+              "'mahalle','cadde','sokak','bulvar']")
+
+    def ok(expr: str, allow_numeric: bool) -> str:
+        num = ("" if allow_numeric
+               else f" OR regexp_matches({expr}, '[0-9]')")
+        return f"NOT (list_contains({cutlab}, {expr}){num})"
+
+    def windows(pos: str, allow_numeric: bool) -> tuple[str, str]:
+        def t(off):
+            return f"toks[{pos}{off:+d}]"
+
+        def o(off):
+            return ok(t(off), allow_numeric)
+
+        before = (
+            f"CASE WHEN {pos} IS NULL THEN '' ELSE concat_ws(' ',\n"
+            f"  CASE WHEN {pos} >= 4 AND {o(-1)} AND {o(-2)} AND {o(-3)}"
+            f" THEN {t(-3)} END,\n"
+            f"  CASE WHEN {pos} >= 3 AND {o(-1)} AND {o(-2)}"
+            f" THEN {t(-2)} END,\n"
+            f"  CASE WHEN {pos} >= 2 AND {o(-1)} THEN {t(-1)} END) END")
+        after = (
+            f"CASE WHEN {pos} IS NULL THEN '' ELSE concat_ws(' ',\n"
+            f"  CASE WHEN {pos}+1 <= len(toks) AND {o(+1)}"
+            f" THEN {t(+1)} END,\n"
+            f"  CASE WHEN {pos}+2 <= len(toks) AND {o(+1)} AND {o(+2)}"
+            f" THEN {t(+2)} END,\n"
+            f"  CASE WHEN {pos}+3 <= len(toks) AND {o(+1)} AND {o(+2)}"
+            f" AND {o(+3)} THEN {t(+3)} END) END")
+        return before, after
+
+    b_mah, a_mah = windows("im", False)
+    b_cad, a_cad = windows("ic", False)
+    b_sok, a_sok = windows("isk", True)
+
     return f"""
     WITH cleaned AS (
       SELECT url, {clean} AS txt
@@ -1319,10 +1374,22 @@ def _pages_parse_oracle_sql() -> str:
           '\\bdaire *([0-9a-z]+)\\b', 1), '') AS daire_raw,
         nullif(regexp_extract(txt,
           '\\bkat *([0-9a-z]+)\\b', 1), '') AS kat_raw,
+        nullif(regexp_extract(txt,
+          'mahalle +({name_cls}+?) +({stops})', 1), '') AS mah_anchor,
+        nullif(regexp_extract(txt,
+          'cadde +({name_cls}+?) +({stops})', 1), '') AS cad_anchor,
+        nullif(regexp_extract(txt,
+          '\\b([0-9]+) +sokak\\b', 1), '') AS sok_num,
+        nullif(regexp_extract(txt,
+          'sokak +({name_cls}+?) +({stops})', 1), '') AS sok_anchor,
         list_filter(string_split(txt, ' '), w -> w != '') AS toks
       FROM cleaned
     ), fields AS (
-      SELECT url, txt,
+      SELECT url, txt, toks,
+        mah_anchor, cad_anchor, sok_num, sok_anchor,
+        nullif(list_position(toks, 'mahalle'), 0) AS im,
+        nullif(list_position(toks, 'cadde'), 0) AS ic,
+        nullif(list_position(toks, 'sokak'), 0) AS isk,
         no_raw LIKE '%/%'
           AND regexp_full_match(split_part(no_raw, '/', 1), '[0-9]+')
           AND regexp_full_match(split_part(no_raw, '/', 2), '[0-9]+')
@@ -1332,6 +1399,10 @@ def _pages_parse_oracle_sql() -> str:
       FROM ext
     ), parsed AS (
       SELECT url, txt,
+        mah_anchor, cad_anchor, sok_num, sok_anchor,
+        {b_mah} AS b_mah, {a_mah} AS a_mah,
+        {b_cad} AS b_cad, {a_cad} AS a_cad,
+        {b_sok} AS b_sok, {a_sok} AS a_sok,
         CASE WHEN no_split THEN split_part(no_raw, '/', 1)
              ELSE no_raw END AS no_val,
         COALESCE(
@@ -1363,7 +1434,25 @@ def _pages_parse_oracle_sql() -> str:
       COALESCE(no_val, '') AS "no",
       COALESCE(daire_val, '') AS daire,
       COALESCE(kat_val, '') AS kat,
-      COALESCE(il_tail, il_city, '') AS il
+      COALESCE(il_tail, il_city, '') AS il,
+      CASE WHEN b_mah != '' THEN b_mah
+           WHEN a_mah != '' THEN a_mah
+           ELSE COALESCE(mah_anchor, '') END AS mahalle,
+      CASE WHEN b_cad != '' THEN b_cad
+           WHEN a_cad != '' THEN a_cad
+           ELSE COALESCE(cad_anchor, '') END AS cadde,
+      CASE WHEN b_sok != ''
+            AND regexp_full_match(replace(b_sok, '/', ''), '[0-9]+')
+           THEN b_sok
+           WHEN a_sok != ''
+            AND NOT regexp_full_match(split_part(a_sok, ' ', 1),
+                                      '[0-9]+')
+           THEN a_sok
+           ELSE COALESCE(
+             CASE WHEN COALESCE(sok_num, sok_anchor) LIKE 'no%'
+                  THEN sok_num
+                  ELSE COALESCE(sok_num, sok_anchor) END, '')
+           END AS sokak
     FROM parsed
     """
 
