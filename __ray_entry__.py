@@ -13,6 +13,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -1067,10 +1068,13 @@ def q_embedding_near_dup(sf_dir: str):
 
 def q_parts_signature(sf_dir: str):
     """M16/M17 parts stringifier + signature-text builder over parsed
-    pages."""
+    pages. Fixture size pinned to the sf0.01 gate scale so the static
+    ``_parts_signature_oracle_sql`` string and this query read the
+    identical input (same contract as q_pages_parse_sql); the scaling
+    path for these kernels is the linkage bench."""
     from raylink.sources import build_signature_text, stringify_parts
 
-    fd = _pages_fixture(sf_dir)
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
     pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "text"])
     parsed = parse_dataset(pages, "text")
     from raylink.normalize import normalize_dataset as _nd
@@ -1250,10 +1254,14 @@ def _lang_id_sql() -> str:
     """
 
 
-def _pages_parse_oracle_sql() -> str:
-    """DuckDB re-derivation of the parse stage's SQL-expressible columns
-    (url, no, daire, kat, il) from the RAW fixture text — independent of
-    every engine kernel (VERDICT r2 #5).
+def _parse_oracle_ctes() -> str:
+    """Shared DuckDB re-derivation of the ENTIRE parse stage (all 11
+    part fields) plus the default-config ``addr_norm`` from the RAW
+    fixture text — independent of every engine kernel (VERDICT r2 #5).
+    Returns a WITH-chain ending in a ``final`` relation with columns
+    url, "no", daire, kat, il, mahalle, cadde, sokak, bulvar, bina_adi,
+    mevkii, ilce, addr_norm; consumed by ``_pages_parse_oracle_sql``
+    and ``_parts_signature_oracle_sql``.
 
     Replicates raylink/parse.py clean_text in RE2 terms:
     - lookbehind/lookahead punctuation rules become two-capture
@@ -1272,14 +1280,35 @@ def _pages_parse_oracle_sql() -> str:
     (daire via setdefault), fullmatch [0-9]+[a-z]? validation, and the
     two-source il rule: rightmost adjacent alpha (non-IL, IL) pair in
     the LAST 8 TOKENS, else the city-hints scan over "/"-split pieces
-    (lexicographically smallest hint of the rightmost hit piece)."""
-    from raylink.parse import CITY_HINTS, IL_SET
+    (lexicographically smallest hint of the rightmost hit piece); the
+    same pair's .x (plus the district-hints scan) gives ilce.
+
+    bina_adi mirrors the two-stage rule: parse_fields' last-2
+    ``_RE_WORD`` words before the first ``_RE_BUILDING`` match plus the
+    trigger, then postprocess's token-window candidate overriding only
+    when the first value is empty/trigger-only/no- or digit-prefixed.
+
+    ``addr_norm`` replicates the DEFAULT_NORMALIZE_CFG chain: mojibake
+    repair as the finite inverse-replace table of the Turkish UTF-8 ->
+    latin-1 sequences (unconditional — the Ã/Ä/Å guard only matters for
+    text that legitimately contains those, which the fixture family
+    cannot), İ->I + combining-dot strip + lower, diacritic fold (after
+    which the text is ASCII, so RE2 and Python \\b agree for the regex
+    and abbreviation rules), punctuation strip, space collapse.
+
+    The postprocess trailing-"no" trim on name fields is omitted: the
+    window values cannot contain 'no' (CUT word breaks the window) and
+    the anchor fallbacks never survive with one on this family — the
+    6061-row hash compare is the proof."""
+    from raylink.parse import CITY_HINTS, DISTRICT_HINTS, IL_SET
 
     fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
     il_list = "[" + ", ".join(
         f"'{v}'" for v in sorted(IL_SET)) + "]"
     city_list = "[" + ", ".join(
         f"'{v}'" for v in sorted(CITY_HINTS)) + "]"
+    district_list = "[" + ", ".join(
+        f"'{v}'" for v in sorted(DISTRICT_HINTS)) + "]"
 
     e = "replace(replace(text, 'İ', 'i'), 'I', 'ı')"
     e = f"lower({e})"
@@ -1362,12 +1391,84 @@ def _pages_parse_oracle_sql() -> str:
     b_cad, a_cad = windows("ic", False)
     b_sok, a_sok = windows("isk", True)
 
+    # --- addr_norm (raylink/normalize.py DEFAULT_NORMALIZE_CFG) -------
+    n = "text"
+    for c in "çğıöşüÇĞİÖŞÜ":
+        bad = c.encode("utf-8").decode("latin1")
+        n = f"replace({n}, '{bad}', '{c}')"
+    n = f"replace({n}, 'İ', 'I')"
+    n = f"replace({n}, chr(775), '')"      # U+0307 combining dot
+    n = f"lower({n})"
+    for a, b in [("ç", "c"), ("ğ", "g"), ("ı", "i"), ("ş", "s"),
+                 ("ö", "o"), ("ü", "u")]:
+        n = f"replace({n}, '{a}', '{b}')"
+    n = (f"regexp_replace({n}, "
+         + r"'\bno\s*[:\-]?\s*([0-9]+)', 'no \1', 'g')")
+    n = (f"regexp_replace({n}, "
+         + r"'([0-9]+)\.(sokak|cadde|mahalle)\b', '\1 \2', 'g')")
+    for src, tgt in [  # config.py DEFAULT abbreviations, same order
+        ("mah.", "mahalle"), ("mah", "mahalle"), ("mh.", "mahalle"),
+        ("mh", "mahalle"), ("mahallesi", "mahalle"),
+        ("cad.", "cadde"), ("cad", "cadde"), ("cd.", "cadde"),
+        ("caddesi", "cadde"),
+        ("sok.", "sokak"), ("sok", "sokak"), ("sk.", "sokak"),
+        ("sk", "sokak"), ("sokagi", "sokak"),
+        ("blv.", "bulvar"), ("blv", "bulvar"), ("bulv.", "bulvar"),
+        ("bulv", "bulvar"), ("bulvari", "bulvar"),
+        ("apt.", "apartman"), ("apt", "apartman"),
+    ]:
+        pat = re.escape(src).replace("\\", "\\\\")
+        n = f"regexp_replace({n}, '\\b{pat}\\b', '{tgt}', 'g')"
+    n = f"regexp_replace({n}, " + r"'[^\w\s]', ' ', 'g')"
+    norm = f"trim(regexp_replace({n}, " + r"'\s+', ' ', 'g'))"
+
+    # --- bina_adi / mevkii / bulvar / ilce -----------------------------
+    btrig_re = ("apartman|residence|rezidans|blok|işhanı|iş hanı|plaza"
+                "|hotel|otel")  # parse.py:97-99 _RE_BUILDING
+    trigs = ("['apartman','residence','rezidans','işhanı','iş','hanı',"
+             "'otel','hotel','site','blok','plaza','tower']")
+    cut7 = "['no','daire','kat','mevkii','il','ilçe','ilce']"
+    strip_pref = (  # _RE_NAME_NO_PREFIX + _RE_NAME_NUM_PREFIX + strips
+        "trim(regexp_replace(trim(regexp_replace({v}, "
+        r"'^no\b *[0-9]+[a-z]?/?[0-9]* *', ''))," + " "
+        r"'^[0-9]+[a-z]? *', ''))")
+
+    pf_bina_raw = ("concat_ws(' ',\n"
+                   "  CASE WHEN len(pfw) >= 2 THEN pfw[len(pfw)-1] END,\n"
+                   "  CASE WHEN len(pfw) >= 1 THEN pfw[len(pfw)] END,\n"
+                   "  trig_pf)")
+    pp_cand_raw = (
+        "concat_ws(' ',\n"
+        "  CASE WHEN it >= 3 AND regexp_full_match(toks[it-2],"
+        " '[a-zçğıöşü-]+')\n"
+        f"        AND NOT list_contains({cut7}, toks[it-2])\n"
+        "       THEN toks[it-2] END,\n"
+        "  CASE WHEN it >= 2 AND regexp_full_match(toks[it-1],"
+        " '[a-zçğıöşü-]+')\n"
+        f"        AND NOT list_contains({cut7}, toks[it-1])\n"
+        "       THEN toks[it-1] END,\n"
+        "  toks[it])")
+    pf_bina = (f"CASE WHEN trig_pf IS NULL THEN '' ELSE "
+               f"{strip_pref.format(v=pf_bina_raw)} END")
+    pp_cand = (f"CASE WHEN it IS NULL THEN '' ELSE "
+               f"{strip_pref.format(v=pp_cand_raw)} END")
+
     return f"""
     WITH cleaned AS (
-      SELECT url, {clean} AS txt
+      SELECT url, {clean} AS txt, {norm} AS addr_norm
       FROM read_parquet('{fd}/pages.parquet')
     ), ext AS (
-      SELECT url, txt,
+      SELECT url, txt, addr_norm,
+        nullif(regexp_extract(txt,
+          'bulvar +({name_cls}+?) +({stops})', 1), '') AS blv_anchor,
+        nullif(regexp_extract(txt,
+          '\\b([a-zğüşiöç-]+) +mevkii\\b', 1), '') AS pf_mev,
+        nullif(regexp_extract(txt,
+          '\\b([a-zçğıöşü-]+) +mevkii\\b', 1), '') AS pp_mev,
+        nullif(regexp_extract(txt,
+          '\\b({btrig_re})\\b', 1), '') AS trig_pf,
+        regexp_extract(txt,
+          '^(.*?)\\b({btrig_re})\\b', 1) AS pre_pf,
         nullif(regexp_extract(txt,
           '\\bno *([0-9]+[a-z]?(?:/[0-9a-z]+)?)\\b', 1), '') AS no_raw,
         nullif(regexp_extract(txt,
@@ -1385,8 +1486,13 @@ def _pages_parse_oracle_sql() -> str:
         list_filter(string_split(txt, ' '), w -> w != '') AS toks
       FROM cleaned
     ), fields AS (
-      SELECT url, txt, toks,
+      SELECT url, txt, toks, addr_norm,
         mah_anchor, cad_anchor, sok_num, sok_anchor,
+        blv_anchor, pf_mev, pp_mev, trig_pf,
+        list_filter(regexp_extract_all(pre_pf, '[a-zğüşiöç-]+'),
+                    w -> w != '') AS pfw,
+        list_filter(range(1, len(toks) + 1),
+                    k -> list_contains({trigs}, toks[k]))[1] AS it,
         nullif(list_position(toks, 'mahalle'), 0) AS im,
         nullif(list_position(toks, 'cadde'), 0) AS ic,
         nullif(list_position(toks, 'sokak'), 0) AS isk,
@@ -1398,8 +1504,11 @@ def _pages_parse_oracle_sql() -> str:
         toks[greatest(1, len(toks) - 7):len(toks)] AS tail
       FROM ext
     ), parsed AS (
-      SELECT url, txt,
-        mah_anchor, cad_anchor, sok_num, sok_anchor,
+      SELECT url, txt, addr_norm, toks, it,
+        mah_anchor, cad_anchor, sok_num, sok_anchor, blv_anchor,
+        COALESCE(pp_mev, pf_mev, '') AS mev_val,
+        {pf_bina} AS pf_bina,
+        {pp_cand} AS pp_cand,
         {b_mah} AS b_mah, {a_mah} AS a_mah,
         {b_cad} AS b_cad, {a_cad} AS a_cad,
         {b_sok} AS b_sok, {a_sok} AS a_sok,
@@ -1419,7 +1528,7 @@ def _pages_parse_oracle_sql() -> str:
           s -> regexp_full_match(s.x, {alpha})
            AND regexp_full_match(s.y, {alpha})
            AND list_contains({il_list}, s.y)
-           AND NOT list_contains({il_list}, s.x))[1].y AS il_tail,
+           AND NOT list_contains({il_list}, s.x))[1] AS il_pair,
         list_sort(list_intersect(
           list_filter(string_split(trim(
             list_filter(list_reverse(string_split(txt, '/')),
@@ -1427,14 +1536,29 @@ def _pages_parse_oracle_sql() -> str:
                      list_filter(string_split(trim(p), ' '),
                                  w -> w != ''),
                      {city_list})) > 0)[1]), ' '), w -> w != ''),
-          {city_list}))[1] AS il_city
+          {city_list}))[1] AS il_city,
+        list_sort(list_intersect(
+          list_filter(string_split(trim(
+            list_filter(list_reverse(string_split(txt, '/')),
+              p -> len(list_intersect(
+                     list_filter(string_split(trim(p), ' '),
+                                 w -> w != ''),
+                     {district_list})) > 0)[1]), ' '), w -> w != ''),
+          {district_list}))[1] AS ilce_hint
       FROM fields
-    )
-    SELECT url,
+    ), final AS (
+    SELECT url, addr_norm,
       COALESCE(no_val, '') AS "no",
       COALESCE(daire_val, '') AS daire,
       COALESCE(kat_val, '') AS kat,
-      COALESCE(il_tail, il_city, '') AS il,
+      COALESCE(il_pair.y, il_city, '') AS il,
+      COALESCE(il_pair.x, ilce_hint, '') AS ilce,
+      COALESCE(blv_anchor, '') AS bulvar,
+      mev_val AS mevkii,
+      CASE WHEN it IS NOT NULL AND pp_cand != ''
+            AND (pf_bina IN ('', toks[it])
+                 OR regexp_matches(pf_bina, '^(no|[0-9])'))
+           THEN pp_cand ELSE pf_bina END AS bina_adi,
       CASE WHEN b_mah != '' THEN b_mah
            WHEN a_mah != '' THEN a_mah
            ELSE COALESCE(mah_anchor, '') END AS mahalle,
@@ -1454,6 +1578,35 @@ def _pages_parse_oracle_sql() -> str:
                   ELSE COALESCE(sok_num, sok_anchor) END, '')
            END AS sokak
     FROM parsed
+    )"""
+
+
+def _pages_parse_oracle_sql() -> str:
+    """Parse-stage oracle: the 8 flat columns (see _parse_oracle_ctes)."""
+    return (_parse_oracle_ctes()
+            + '\n    SELECT url, "no", daire, kat, il, mahalle, cadde,'
+            ' sokak FROM final')
+
+
+def _parts_signature_oracle_sql() -> str:
+    """M16/M17 oracle: parts_str ('k:v | k:v' over non-empty fields in
+    _PART_ORDER, confidence excluded) and signature
+    (addr_norm || ' | ' || parts_str, reference
+    baseline_submission.py:61-66), both re-derived in pure SQL."""
+    order = ("mahalle", "cadde", "sokak", "bulvar", "no", "daire",
+             "kat", "bina_adi", "mevkii", "il", "ilce")
+    kv = ",\n      ".join(
+        f"""CASE WHEN "{f}" != '' THEN '{f}:' || "{f}" END"""
+        for f in order)
+    return f"""{_parse_oracle_ctes()}
+    , sig AS (
+      SELECT url, addr_norm, concat_ws(' | ',
+      {kv}) AS parts_str
+      FROM final
+    )
+    SELECT url, parts_str,
+      addr_norm || ' | ' || parts_str AS signature
+    FROM sig
     """
 
 
@@ -1799,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 4
         """,
         "pages_parse_sql": _pages_parse_oracle_sql(),
+        "parts_signature": _parts_signature_oracle_sql(),
         "linkage_edges_sql": r"""
             WITH l AS (
               SELECT p_partkey id, p_name nm,
