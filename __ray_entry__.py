@@ -1026,16 +1026,29 @@ def q_classify_documents(sf_dir: str):
 
 
 def q_weak_label_pages(sf_dir: str):
-    """M8 BIO-ish gazetteer weak labels over the pages fixture."""
+    """M8 BIO-ish gazetteer weak labels over the pages fixture, checked
+    against a pure-SQL re-derivation (round 3 — was rows-only). Fixture
+    pinned to the gate scale like the other parse-family oracles; the
+    list<string> token/label columns are space-joined in the gate
+    projection so the hash compare sees plain strings."""
     from raylink.weak_label import weak_label_dataset
 
-    fd = _pages_fixture(sf_dir)
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
     pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "text"])
     import ray
 
     conc = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2) \
         if ray.is_initialized() else 2
-    return weak_label_dataset(pages, "text", concurrency=conc)
+    labeled = weak_label_dataset(pages, "text", concurrency=conc)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "tokens_str": pc.binary_join(t.column("tokens"), " "),
+            "labels_str": pc.binary_join(t.column("bio_labels"), " "),
+        })
+
+    return labeled.map_batches(proj, batch_format="pyarrow")
 
 
 def q_media_features(sf_dir: str):
@@ -1254,6 +1267,86 @@ def _lang_id_sql() -> str:
     """
 
 
+def _norm_sql_expr(col: str) -> str:
+    """DuckDB expression replicating the DEFAULT_NORMALIZE_CFG
+    ``normalize_text`` chain (raylink/normalize.py) over ``col``:
+    mojibake repair as the finite inverse-replace table of the Turkish
+    UTF-8 -> latin-1 sequences (unconditional — the Ã/Ä/Å guard only
+    matters for text that legitimately contains those, which the
+    fixture family cannot), İ->I + combining-dot strip + lower,
+    diacritic fold (after which the text is ASCII, so RE2 and Python
+    \\b agree for the regex and abbreviation rules), punctuation strip,
+    space collapse."""
+    n = col
+    for c in "çğıöşüÇĞİÖŞÜ":
+        bad = c.encode("utf-8").decode("latin1")
+        n = f"replace({n}, '{bad}', '{c}')"
+    n = f"replace({n}, 'İ', 'I')"
+    n = f"replace({n}, chr(775), '')"      # U+0307 combining dot
+    n = f"lower({n})"
+    for a, b in [("ç", "c"), ("ğ", "g"), ("ı", "i"), ("ş", "s"),
+                 ("ö", "o"), ("ü", "u")]:
+        n = f"replace({n}, '{a}', '{b}')"
+    n = (f"regexp_replace({n}, "
+         + r"'\bno\s*[:\-]?\s*([0-9]+)', 'no \1', 'g')")
+    n = (f"regexp_replace({n}, "
+         + r"'([0-9]+)\.(sokak|cadde|mahalle)\b', '\1 \2', 'g')")
+    for src, tgt in [  # config.py DEFAULT abbreviations, same order
+        ("mah.", "mahalle"), ("mah", "mahalle"), ("mh.", "mahalle"),
+        ("mh", "mahalle"), ("mahallesi", "mahalle"),
+        ("cad.", "cadde"), ("cad", "cadde"), ("cd.", "cadde"),
+        ("caddesi", "cadde"),
+        ("sok.", "sokak"), ("sok", "sokak"), ("sk.", "sokak"),
+        ("sk", "sokak"), ("sokagi", "sokak"),
+        ("blv.", "bulvar"), ("blv", "bulvar"), ("bulv.", "bulvar"),
+        ("bulv", "bulvar"), ("bulvari", "bulvar"),
+        ("apt.", "apartman"), ("apt", "apartman"),
+    ]:
+        pat = re.escape(src).replace("\\", "\\\\")
+        n = f"regexp_replace({n}, '\\b{pat}\\b', '{tgt}', 'g')"
+    n = f"regexp_replace({n}, " + r"'[^\w\s]', ' ', 'g')"
+    return f"trim(regexp_replace({n}, " + r"'\s+', ' ', 'g'))"
+
+
+def _weak_label_oracle_sql() -> str:
+    """M8 oracle: BIO-ish gazetteer labels re-derived in SQL — tokens
+    are the addr_norm split, each labeled by priority membership
+    (mahalle index > il > ilce, raylink/weak_label.py:103-115). The
+    gazetteer CONTENTS are input data (configs/gazetteers.json +
+    built-in hint sets), inlined as SQL lists; the labeling LOGIC is
+    re-implemented. Tokens/labels are space-joined so the hash compare
+    sees plain strings."""
+    from raylink.parse import CITY_HINTS, DISTRICT_HINTS, IL_SET
+    from raylink.weak_label import default_gazetteers
+
+    gaz = default_gazetteers()
+    mah = "[" + ", ".join(
+        f"'{v}'" for v in sorted(gaz["mahalle_index"])) + "]"
+    il = "[" + ", ".join(
+        f"'{v}'" for v in sorted(set(IL_SET) | set(CITY_HINTS))) + "]"
+    ilce = "[" + ", ".join(
+        f"'{v}'" for v in sorted(DISTRICT_HINTS)) + "]"
+
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    return f"""
+    WITH toks AS (
+      SELECT url,
+        list_filter(string_split({_norm_sql_expr("coalesce(text, '')")}, ' '),
+                    w -> w != '') AS tokens
+      FROM read_parquet('{fd}/pages.parquet')
+    )
+    SELECT url,
+      -- array_to_string([]) is NULL in DuckDB; the engine joins [] to ''
+      coalesce(array_to_string(tokens, ' '), '') AS tokens_str,
+      coalesce(array_to_string(list_transform(tokens,
+        t -> CASE WHEN list_contains({mah}, t) THEN 'B-MAHALLE'
+                  WHEN list_contains({il}, t) THEN 'B-IL'
+                  WHEN list_contains({ilce}, t) THEN 'B-ILCE'
+                  ELSE 'O' END), ' '), '') AS labels_str
+    FROM toks
+    """
+
+
 def _parse_oracle_ctes() -> str:
     """Shared DuckDB re-derivation of the ENTIRE parse stage (all 11
     part fields) plus the default-config ``addr_norm`` from the RAW
@@ -1391,36 +1484,7 @@ def _parse_oracle_ctes() -> str:
     b_cad, a_cad = windows("ic", False)
     b_sok, a_sok = windows("isk", True)
 
-    # --- addr_norm (raylink/normalize.py DEFAULT_NORMALIZE_CFG) -------
-    n = "text"
-    for c in "çğıöşüÇĞİÖŞÜ":
-        bad = c.encode("utf-8").decode("latin1")
-        n = f"replace({n}, '{bad}', '{c}')"
-    n = f"replace({n}, 'İ', 'I')"
-    n = f"replace({n}, chr(775), '')"      # U+0307 combining dot
-    n = f"lower({n})"
-    for a, b in [("ç", "c"), ("ğ", "g"), ("ı", "i"), ("ş", "s"),
-                 ("ö", "o"), ("ü", "u")]:
-        n = f"replace({n}, '{a}', '{b}')"
-    n = (f"regexp_replace({n}, "
-         + r"'\bno\s*[:\-]?\s*([0-9]+)', 'no \1', 'g')")
-    n = (f"regexp_replace({n}, "
-         + r"'([0-9]+)\.(sokak|cadde|mahalle)\b', '\1 \2', 'g')")
-    for src, tgt in [  # config.py DEFAULT abbreviations, same order
-        ("mah.", "mahalle"), ("mah", "mahalle"), ("mh.", "mahalle"),
-        ("mh", "mahalle"), ("mahallesi", "mahalle"),
-        ("cad.", "cadde"), ("cad", "cadde"), ("cd.", "cadde"),
-        ("caddesi", "cadde"),
-        ("sok.", "sokak"), ("sok", "sokak"), ("sk.", "sokak"),
-        ("sk", "sokak"), ("sokagi", "sokak"),
-        ("blv.", "bulvar"), ("blv", "bulvar"), ("bulv.", "bulvar"),
-        ("bulv", "bulvar"), ("bulvari", "bulvar"),
-        ("apt.", "apartman"), ("apt", "apartman"),
-    ]:
-        pat = re.escape(src).replace("\\", "\\\\")
-        n = f"regexp_replace({n}, '\\b{pat}\\b', '{tgt}', 'g')"
-    n = f"regexp_replace({n}, " + r"'[^\w\s]', ' ', 'g')"
-    norm = f"trim(regexp_replace({n}, " + r"'\s+', ' ', 'g'))"
+    norm = _norm_sql_expr("text")
 
     # --- bina_adi / mevkii / bulvar / ilce -----------------------------
     btrig_re = ("apartman|residence|rezidans|blok|işhanı|iş hanı|plaza"
@@ -1953,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_parse_sql": _pages_parse_oracle_sql(),
         "parts_signature": _parts_signature_oracle_sql(),
+        "weak_label_pages": _weak_label_oracle_sql(),
         "linkage_edges_sql": r"""
             WITH l AS (
               SELECT p_partkey id, p_name nm,
