@@ -770,9 +770,9 @@ def q_simhash_pairs(sf_dir: str):
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def pad_ids(t: pa.Table) -> pa.Table:
-        padded = [f"{int(i):08d}" for i in t.column("doc_id").to_pylist()]
-        return pa.table({"doc_id": pa.array(padded, pa.string()),
-                         "text": t.column("text")})
+        padded = pc.utf8_lpad(
+            pc.cast(t.column("doc_id"), pa.string()), 8, "0")
+        return pa.table({"doc_id": padded, "text": t.column("text")})
 
     pairs = simhash_pairs(docs.map_batches(pad_ids, batch_format="pyarrow"),
                           "text", "doc_id")
@@ -856,8 +856,9 @@ def q_near_dup_dedup(sf_dir: str):
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def pad(t: pa.Table) -> pa.Table:
-        padded = [f"{int(i):08d}" for i in t.column("doc_id").to_pylist()]
-        return pa.table({"doc_id": pa.array(padded, pa.string()),
+        padded = pc.utf8_lpad(
+            pc.cast(t.column("doc_id"), pa.string()), 8, "0")
+        return pa.table({"doc_id": padded,
                          "text": t.column("text"),
                          "lang": t.column("lang")})
 

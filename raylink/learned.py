@@ -33,7 +33,9 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -299,12 +301,40 @@ def collect_train_split(ds, max_rows: int = MAX_TRAIN_ROWS,
     pandas frame too (scripts/train_baseline.py:133-160) — but an
     unbounded ``take_all()`` breaks at 100x scale. This helper is the
     required doorway: splits over ``max_rows`` are deterministically
-    downsampled with ``Dataset.random_sample(seed=...)`` BEFORE the
-    collect, so driver memory stays bounded by ~max_rows rows while
-    small splits pass through untouched (bit-identical bundles)."""
+    downsampled BEFORE the collect, so driver memory stays bounded by
+    ~max_rows rows while small splits pass through untouched
+    (bit-identical bundles).
+
+    Sampling is a per-row content-hash Bernoulli filter
+    (``pd.util.hash_pandas_object`` with a seed-derived key) rather
+    than ``Dataset.random_sample``: Ray's sampler draws from per-task
+    RNG state, so its output depends on dynamic block boundaries and
+    is NOT reproducible run-to-run even with a fixed seed. The hash
+    filter is row-local, hence invariant to blocking/parallelism.
+    (Identical rows share a fate — acceptable for train-split
+    sampling, where duplicates carry no extra information.) The
+    sampled rows are returned in canonical (hash-sorted) order:
+    ``take_all`` block order follows task completion order, so without
+    a driver-side sort two runs return the same SET in different
+    ORDER — and row order feeds the SGD fit."""
     n = ds.count()
     if n > max_rows:
-        ds = ds.random_sample(max_rows / n, seed=seed)
+        fraction = max_rows / n
+        hash_key = f"{seed & 0xFFFFFFFFFFFFFFFF:016x}"
+
+        def keep(df):
+            h = pd.util.hash_pandas_object(df, index=False,
+                                           hash_key=hash_key)
+            u = (h % np.uint64(1 << 32)).astype(np.float64) / (1 << 32)
+            out = df[u < fraction].copy()
+            out["__sample_hash__"] = h[u < fraction].astype(np.uint64)
+            return out
+
+        rows = ds.map_batches(keep, batch_format="pandas").take_all()
+        rows.sort(key=lambda r: r["__sample_hash__"])
+        for r in rows:
+            del r["__sample_hash__"]
+        return rows
     return ds.take_all()
 
 
@@ -562,3 +592,252 @@ def classify_dataset(ds, bundle_ref, text_col: str,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ----------------------------------------------------------------------
+# Distributed classifier fit — the 100x path past collect_train_split.
+#
+# collect_train_split bounds the driver collect (the reference's own
+# fit is a pandas frame, scripts/train_baseline.py:133-160), but a
+# training split that legitimately exceeds MAX_TRAIN_ROWS needs a fit
+# that never collects rows at all. This is the textbook synchronous
+# data-parallel recipe (public knowledge: full-batch gradient descent
+# with map-reduce gradient sums; cf. Zinkevich et al., "Parallelized
+# Stochastic Gradient Descent", NeurIPS 2010, for the family):
+#
+#   pass 1  map_batches  -> per-block SPARSE document-frequency rows
+#           map_batches  -> tree-combine level (dense-sum, sparse-out)
+#           driver       -> tiny final sum => idf per channel + classes
+#   pass 2  map_batches  -> final tf-idf COO per block, packed binary,
+#           .materialize() ONCE (features are reused every epoch;
+#           re-hashing text per epoch would re-pay pass 2 x epochs)
+#   epochs  map_batches  -> per-block (grad_w, grad_b, loss) sums from
+#           the COO (no densified row matrix anywhere),
+#           map_batches  -> combine level, driver applies the update.
+#
+# Every driver-side object is O(dim x classes) (the model), never
+# O(rows). Gradients ride the same two-level combine as the df pass so
+# the driver take_all sees ~n_blocks/combine_size rows; add combine
+# levels before the driver sum if block counts grow past that.
+# ----------------------------------------------------------------------
+
+
+def _pack(a: np.ndarray) -> bytes:
+    return a.tobytes()
+
+
+def _df_partial_fn(channels, text_col, side_col, label_col):
+    """Per-block sparse df + label set for each channel (pass 1).
+
+    Plain TASK function, not an actor pool: there is no per-worker
+    setup to amortize, and a second reserved actor pool downstream
+    can deadlock a small session (both pools need their full CPU
+    reservation before either produces a block)."""
+    specs = list(channels)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        columns = [batch.column(text_col).to_pylist()]
+        if side_col is not None:
+            columns.append(batch.column(side_col).to_pylist())
+        out: dict = {"n": [len(columns[0])]}
+        for ci, (src, an, (lo, hi), nbits) in enumerate(specs):
+            per_doc = [np.unique(_ngram_indices(t or "", lo, hi, nbits, an))
+                       for t in columns[src]]
+            allv = (np.concatenate(per_doc) if per_doc
+                    else np.empty(0, np.int64))
+            ids, cnt = np.unique(allv, return_counts=True)
+            out[f"ids{ci}"] = [_pack(ids.astype(np.int64))]
+            out[f"cnt{ci}"] = [_pack(cnt.astype(np.int64))]
+        labels = sorted(set(batch.column(label_col).to_pylist()))
+        out["labels"] = [labels]
+        return pa.table(out)
+
+    return fn
+
+
+def _df_combine_fn(n_channels: int, dims: list[int]):
+    """Sum a block of sparse df rows into one sparse row (tree level)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out: dict = {"n": [int(pc.sum(batch.column("n")).as_py() or 0)]}
+        for ci in range(n_channels):
+            dense = np.zeros(dims[ci], dtype=np.int64)
+            for ids_b, cnt_b in zip(batch.column(f"ids{ci}").to_pylist(),
+                                    batch.column(f"cnt{ci}").to_pylist()):
+                ids = np.frombuffer(ids_b, dtype=np.int64)
+                np.add.at(dense, ids, np.frombuffer(cnt_b, np.int64))
+            nz = np.nonzero(dense)[0]
+            out[f"ids{ci}"] = [_pack(nz)]
+            out[f"cnt{ci}"] = [_pack(dense[nz])]
+        labels = sorted({v for row in batch.column("labels").to_pylist()
+                         for v in row})
+        out["labels"] = [labels]
+        return pa.table(out)
+
+    return fn
+
+
+def _featurize_fn(vec_ref, text_col, side_col, label_col, cls_idx):
+    """Pass 2: final tf-idf COO per block, packed binary (one row per
+    input block; ``cols`` int32 — channel dims stay < 2**31). The
+    broadcast vectorizer is fetched per task via ray.get (zero-copy
+    from the node's object store)."""
+    cls_idx = dict(cls_idx)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec: MultiChannelTfidf = ray.get(vec_ref)
+        columns = [batch.column(text_col).to_pylist()]
+        if side_col is not None:
+            columns.append(batch.column(side_col).to_pylist())
+        rows, cols, vals = vec.transform_coo(columns)
+        y = np.asarray(
+            [cls_idx[v] for v in batch.column(label_col).to_pylist()],
+            dtype=np.int32)
+        return pa.table({
+            "rows": [_pack(rows.astype(np.int64))],
+            "cols": [_pack(cols.astype(np.int32))],
+            "vals": [_pack(vals.astype(np.float32))],
+            "y": [_pack(y)],
+            "n": [len(y)],
+        })
+
+    return fn
+
+
+def _grad_batch(batch: pa.Table, w: np.ndarray, b: np.ndarray):
+    """Sum-of-gradients over one features block, straight from COO."""
+    dim, n_cls = w.shape
+    gw = np.zeros((dim, n_cls), dtype=np.float64)
+    gb = np.zeros(n_cls, dtype=np.float64)
+    loss = 0.0
+    total = 0
+    for rows_b, cols_b, vals_b, y_b, n in zip(
+            batch.column("rows").to_pylist(),
+            batch.column("cols").to_pylist(),
+            batch.column("vals").to_pylist(),
+            batch.column("y").to_pylist(),
+            batch.column("n").to_pylist()):
+        n = int(n)
+        if n == 0:
+            continue
+        rows = np.frombuffer(rows_b, dtype=np.int64)
+        cols = np.frombuffer(cols_b, dtype=np.int32).astype(np.int64)
+        vals = np.frombuffer(vals_b, dtype=np.float32)
+        y = np.frombuffer(y_b, dtype=np.int32).astype(np.int64)
+        logits = np.tile(b, (n, 1)).astype(np.float32)
+        if len(rows):
+            np.add.at(logits, rows, vals[:, None] * w[cols])
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        loss += float(-np.log(
+            np.clip(p[np.arange(n), y], 1e-12, None)).sum())
+        p[np.arange(n), y] -= 1.0
+        if len(rows):
+            np.add.at(gw, cols, (vals[:, None] * p[rows]))
+        gb += p.sum(axis=0)
+        total += n
+    return pa.table({
+        "gw": [_pack(gw.astype(np.float32))],
+        "gb": [_pack(gb.astype(np.float32))],
+        "loss": [loss],
+        "n": [total],
+    })
+
+
+def _grad_combine(batch: pa.Table) -> pa.Table:
+    gw = None
+    gb = None
+    for gw_b, gb_b in zip(batch.column("gw").to_pylist(),
+                          batch.column("gb").to_pylist()):
+        gwa = np.frombuffer(gw_b, dtype=np.float32).astype(np.float64)
+        gba = np.frombuffer(gb_b, dtype=np.float32).astype(np.float64)
+        gw = gwa if gw is None else gw + gwa
+        gb = gba if gb is None else gb + gba
+    return pa.table({
+        "gw": [_pack(gw.astype(np.float32))],
+        "gb": [_pack(gb.astype(np.float32))],
+        "loss": [float(pc.sum(batch.column("loss")).as_py() or 0.0)],
+        "n": [int(pc.sum(batch.column("n")).as_py() or 0)],
+    })
+
+
+def fit_classifier_distributed(ds, text_col: str, label_col: str,
+                               side_col: str | None = None,
+                               ngram_range=(3, 5), nbits: int = 16,
+                               word_ngram_range=None, word_nbits: int = 14,
+                               epochs: int = 8, lr: float = 0.5,
+                               l2: float = 1e-6,
+                               batch_size: int = 1024,
+                               combine_size: int = 64):
+    """Distributed TF-IDF + softmax fit: NO driver-side row collect
+    anywhere — df/idf, classes, features and per-epoch gradients are
+    all map_batches stages with a tree-combine level; the driver only
+    ever holds O(dim x classes). Returns the same broadcast bundle
+    shape as :func:`fit_classifier_bundle`, so ``ClassifierPredict`` /
+    ``classify_dataset`` consume it unchanged.
+
+    Deterministic given fixed inputs up to float summation order
+    (gradients are accumulated in float64 at the combine level);
+    full-batch gradient descent (no minibatch RNG), so unlike
+    ``SoftmaxSGD.fit`` there is no ``seed``."""
+    channels = _default_channels(ngram_range, nbits, word_ngram_range,
+                                 word_nbits, side_col is not None)
+    dims = [1 << nb for (_s, _a, _ng, nb) in channels]
+
+    # ---- pass 1: df + classes (one pass, tree-combined) --------------
+    leaves = ds.map_batches(
+        _df_partial_fn(channels, text_col, side_col, label_col),
+        batch_format="pyarrow", batch_size=batch_size)
+    combined = leaves.map_batches(
+        _df_combine_fn(len(channels), dims),
+        batch_format="pyarrow", batch_size=combine_size).take_all()
+    if not combined:
+        raise ValueError("fit_classifier_distributed: empty dataset")
+    n_docs = sum(int(r["n"]) for r in combined)
+    vec = MultiChannelTfidf(channels)
+    for ci, hv in enumerate(vec.vecs):
+        df = np.zeros(dims[ci], dtype=np.int64)
+        for r in combined:
+            ids = np.frombuffer(r[f"ids{ci}"], dtype=np.int64)
+            np.add.at(df, ids, np.frombuffer(r[f"cnt{ci}"], np.int64))
+        hv.idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    classes = sorted({v for r in combined for v in r["labels"]})
+    cls_idx = {c: i for i, c in enumerate(classes)}
+
+    # ---- pass 2: features, materialized once for all epochs ----------
+    vec_ref = ray.put(vec)
+    feat = ds.map_batches(
+        _featurize_fn(vec_ref, text_col, side_col, label_col, cls_idx),
+        batch_format="pyarrow", batch_size=batch_size).materialize()
+
+    # ---- epochs: synchronous full-batch GD ---------------------------
+    model = SoftmaxSGD(vec.dim, len(classes), lr=lr, epochs=epochs,
+                       l2=l2)
+    for _ in range(epochs):
+        wref = ray.put((model.w.copy(), model.b.copy()))
+
+        def grad(batch: pa.Table) -> pa.Table:
+            w, b = ray.get(wref)
+            return _grad_batch(batch, w, b)
+
+        parts = feat.map_batches(
+            grad, batch_format="pyarrow", batch_size=None,
+        ).map_batches(
+            _grad_combine, batch_format="pyarrow",
+            batch_size=combine_size,
+        ).take_all()
+        gw = np.zeros((vec.dim, len(classes)), dtype=np.float64)
+        gb = np.zeros(len(classes), dtype=np.float64)
+        n_total = 0
+        for r in parts:
+            gw += np.frombuffer(r["gw"], dtype=np.float32).reshape(
+                vec.dim, len(classes))
+            gb += np.frombuffer(r["gb"], dtype=np.float32)
+            n_total += int(r["n"])
+        model.w -= (lr * (gw / max(1, n_total)
+                          + l2 * model.w)).astype(np.float32)
+        model.b -= (lr * (gb / max(1, n_total))).astype(np.float32)
+
+    return ray.put({"vectorizer": vec, "model": model,
+                    "classes": classes})

@@ -273,3 +273,41 @@ def test_collect_train_split_bounded():
                                      t.column("id").to_pylist()]}),
         batch_format="pyarrow")
     assert len(collect_train_split(small, max_rows=500)) == 50
+
+
+def test_fit_classifier_distributed_matches_local():
+    """The distributed fit (df tree-reduce + materialized COO features
+    + synchronous full-batch GD; no driver-side row collect) must
+    produce a bundle that ClassifierPredict consumes unchanged and
+    that classifies the held-out TEST set like the local fit does.
+    Also checks the distributed idf equals the local fit bit-for-bit
+    (same df counts, just reduced across blocks)."""
+    import ray
+
+    from raylink.learned import (
+        MultiChannelTfidf,
+        _default_channels,
+        fit_classifier_distributed,
+    )
+
+    texts = [t for t, _ in TRAIN]
+    labels = [c for _, c in TRAIN]
+    train_ds = rd.from_items(
+        [{"text": t, "lang": c} for t, c in TRAIN]).repartition(3)
+    bundle_ref = fit_classifier_distributed(
+        train_ds, "text", "lang", nbits=14, epochs=30, lr=1.0,
+        batch_size=4, combine_size=2)
+    bundle = ray.get(bundle_ref)
+    assert bundle["classes"] == ["A", "B", "C"]
+
+    local_vec = MultiChannelTfidf(
+        _default_channels((3, 5), 14, None, 14, False)).fit([texts])
+    for hv_d, hv_l in zip(bundle["vectorizer"].vecs, local_vec.vecs):
+        np.testing.assert_array_equal(hv_d.idf, hv_l.idf)
+
+    ds = rd.from_items([{"id": i, "text": t}
+                        for i, (t, _) in enumerate(TEST)])
+    out = classify_dataset(ds, bundle_ref, "text",
+                           concurrency=2).to_pandas()
+    got = dict(zip(out["id"], out["pred_label"]))
+    assert [got[i] for i in range(3)] == ["A", "B", "C"]
