@@ -845,6 +845,43 @@ def q_pages_parse_sql(sf_dir: str):
     return flat.map_batches(proj, batch_format="pyarrow")
 
 
+def q_pages_extract_sql(sf_dir: str):
+    """Extract-stage SQL oracle — the last rows-only front stage of the
+    flagship (VERDICT r2 "What's missing #2" second half). Runs the
+    REAL actor-pool extractor (raylink/extract.py ExtractText: decode
+    -> <article> capture -> html.unescape) over the pinned fixture and
+    emits (url, text_extracted); the DuckDB side re-derives the text
+    from the raw html BLOB independently.
+
+    Why a 3-replace is an EXACT unescape inverse here: the fixture body
+    is html.escape(text, quote=False), which rewrites every literal
+    '&' to '&amp;' first — so in the escaped body the only '&lt;'/
+    '&gt;' substrings come from literal '<'/'>' (a textual "&lt;"
+    becomes "&amp;lt;", which does not contain "&lt;"). Replacing
+    &lt; -> < and &gt; -> > BEFORE &amp; -> & therefore reconstructs
+    any input text byte-identically, entities-in-text included.
+
+    Fixture pinned to the sf0.01 gate scale like q_pages_parse_sql so
+    the static SQL string and the query read identical input; the
+    sf-scaled extract stays exercised by q_pages_extract / linkage."""
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    pages = rd.read_parquet(f"{fd}/pages.parquet",
+                            columns=["url", "html"])
+    out = extract_dataset(pages, concurrency=2)
+    return out.select_columns(["url", "text_extracted"])
+
+
+def _pages_extract_oracle_sql() -> str:
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    return f"""
+    SELECT url,
+      replace(replace(replace(
+        regexp_extract(decode(html), '(?s)<article>(.*?)</article>', 1),
+        '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS text_extracted
+    FROM read_parquet('{fd}/pages.parquet')
+    """
+
+
 def q_near_dup_dedup(sf_dir: str):
     """End-to-end near-duplicate REMOVAL (the operator a training-data
     pipeline runs): MinHash-LSH verified pairs at Jaccard >= 0.85 ->
@@ -1218,7 +1255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q_events_asof_join,
         "pages_parse_sql": q_pages_parse_sql,
         "linkage_edges": q_linkage_edges,
-        "linkage_clusters": q_linkage_clusters,
+        # linkage_clusters (rows-only) yields its slot to the
+        # SQL-oracled pages_extract_sql: the cluster semantics stay
+        # hash-checked by linkage_clusters_sql AND cc_chain_clusters,
+        # and q_linkage_clusters remains callable + bench-timed.
+        "pages_extract_sql": q_pages_extract_sql,
         "linkage_edges_sql": q_linkage_edges_sql,
         "linkage_clusters_sql": q_linkage_clusters_sql,
         "near_dup_dedup": q_near_dup_dedup,
@@ -2017,6 +2058,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 4
         """,
         "pages_parse_sql": _pages_parse_oracle_sql(),
+        "pages_extract_sql": _pages_extract_oracle_sql(),
         "parts_signature": _parts_signature_oracle_sql(),
         "weak_label_pages": _weak_label_oracle_sql(),
         "linkage_edges_sql": r"""
