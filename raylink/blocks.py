@@ -48,3 +48,28 @@ def ensure_arrow(ds, schema: pa.Schema | None = None):
         empty = pa.table({}) if schema is None else schema.empty_table()
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(refs)
+
+
+def dataset_schema(ds) -> pa.Schema:
+    """pyarrow schema of a Dataset, robust to block origin: Arrow-origin
+    datasets report pa.DataType entries, but pandas-origin ones report
+    numpy dtypes / Python classes (``object`` for strings). Used by
+    operators that must pin an output schema before execution.
+    ``object`` dtype is mapped to ``pa.string()`` — the overwhelmingly
+    common meaning in this engine's frames."""
+    import numpy as np
+
+    s = ds.schema()
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+            continue
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            dt = np.dtype(object)
+        fields.append(pa.field(
+            n, pa.string() if dt == np.dtype(object)
+            else pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)

@@ -18,6 +18,7 @@ hard ``max_rounds`` bound).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -54,10 +55,14 @@ def _sym_edges(edges, src: str, dst: str):
 
 def _label_signature(labels) -> int:
     def partial(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("node").to_pylist()
-        labs = batch.column("label").to_pylist()
-        s = sum(_fnv64(f"{n}\x00{l}") for n, l in zip(nodes, labs)) \
-            & 0x7FFFFFFFFFFFFFFF
+        # C-level (node, label) hash-sum — the signature only has to be
+        # order-free and change-sensitive within one run, so the hash
+        # fn is free (was a per-row Python _fnv64 loop every round)
+        joined = pc.binary_join_element_wise(
+            batch.column("node").cast(pa.string()),
+            batch.column("label").cast(pa.string()), "\x00")
+        h = pd.util.hash_array(np.asarray(joined))
+        s = int(h.sum(dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF))
         return pa.table({"sig": pa.array([s], pa.int64())})
 
     parts = labels.map_batches(partial, batch_format="pyarrow")
@@ -203,30 +208,56 @@ def connected_components_blocked(edges, key_col: str = "block_key",
             return pa.table({"_bucket": pa.array([], pa.int32()),
                              "u": pa.array([], pa.string()),
                              "v": pa.array([], pa.string())})
-        keys = batch.column(key_col).to_pylist()
+        # C-level key hash (was a per-row Python _fnv64 loop — the
+        # single biggest allocation-heavy-Python cost of this stage;
+        # bucket placement is internal, so the hash fn is free to
+        # change as long as equal keys collide)
+        keys = np.asarray(batch.column(key_col))
+        hb = (pd.util.hash_array(keys) % np.uint64(num_buckets)).astype(
+            np.int32)
         return pa.table(
-            {"_bucket": pa.array(
-                [_fnv64(k) % num_buckets for k in keys], pa.int32()),
+            {"_bucket": pa.array(hb),
              "u": batch.column(src).cast(pa.string()),
              "v": batch.column(dst).cast(pa.string())})
 
     bucketed = edges.map_batches(to_bucket, batch_format="pyarrow")
 
-    # one group per hash bucket (bounded), union-find inside — the
-    # per-block grouping is implicit: disjoint blocks cannot connect,
-    # so running union-find over a whole bucket is exact
+    # one group per hash bucket (bounded), min-label propagation
+    # inside — the per-block grouping is implicit: disjoint blocks
+    # cannot connect, so resolving a whole bucket at once is exact.
+    # Vectorized (sorted-unique codes + numpy scatter-min + pointer
+    # jumping) instead of a Python dict union-find: code order is
+    # lexicographic, so the converged min CODE per component is the
+    # min STRING — identical output to connected_components_local,
+    # which also roots every union at the lexicographic min. The dict
+    # version's per-edge Python allocations were the reason this stage
+    # scaled NEGATIVELY 8->32 CPUs (12.8s -> 17.1s at 4.4M edges; this
+    # VM's allocation-heavy-Python ceiling).
     def per_bucket(bucket: pa.Table) -> pa.Table:
         if "u" not in bucket.column_names or bucket.num_rows == 0:
             return pa.table({"id": pa.array([], pa.string()),
                              "cluster_id": pa.array([], pa.string())})
-        mapping = connected_components_local(
-            list(zip(bucket.column("u").to_pylist(),
-                     bucket.column("v").to_pylist())))
-        ids = sorted(mapping)
+        u = np.asarray(bucket.column("u"))
+        v = np.asarray(bucket.column("v"))
+        uniq, inv = np.unique(np.concatenate([u, v]),
+                              return_inverse=True)
+        cu, cv = inv[:len(u)], inv[len(u):]
+        labels = np.arange(len(uniq), dtype=np.int64)
+        while True:
+            before = labels.copy()
+            em = np.minimum(labels[cu], labels[cv])
+            np.minimum.at(labels, cu, em)
+            np.minimum.at(labels, cv, em)
+            while True:  # pointer jumping to per-round fixpoint
+                nl = labels[labels]
+                if np.array_equal(nl, labels):
+                    break
+                labels = nl
+            if np.array_equal(labels, before):
+                break
         return pa.table(
-            {"id": pa.array(ids, pa.string()),
-             "cluster_id": pa.array([mapping[i] for i in ids],
-                                    pa.string())})
+            {"id": pa.array(uniq, pa.string()),
+             "cluster_id": pa.array(uniq[labels], pa.string())})
 
     return bucketed.repartition(64).groupby("_bucket").map_groups(
         per_bucket, batch_format="pyarrow")

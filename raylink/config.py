@@ -93,7 +93,7 @@ class MatchConfig:
     max_block_pairs: int = 2_000_000       # cap L*R pairs per block
     salt_over: int = 512                   # salt blocks bigger than this
     num_salts: int = 8
-    num_buckets: int = 256                 # hash buckets for the co-shuffle
+    num_buckets: int = 0                   # co-shuffle hash buckets; 0 = session-sized (match._effective_buckets)
     shuffle_partitions: int = 64           # coalesce before wide groupbys
 
     def __post_init__(self) -> None:
@@ -132,7 +132,7 @@ class MatchConfig:
             max_block_pairs=int(cfg.get("max_block_pairs", 2_000_000)),
             salt_over=int(cfg.get("salt_over", 512)),
             num_salts=int(cfg.get("num_salts", 8)),
-            num_buckets=int(cfg.get("num_buckets", 256)),
+            num_buckets=int(cfg.get("num_buckets", 0)),
             shuffle_partitions=int(cfg.get("shuffle_partitions", 64)),
         )
 

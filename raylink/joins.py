@@ -14,6 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from .blocks import dataset_schema as _pa_schema
+
 
 def join_partitions(requested: int | None = None) -> int:
     """Session-sized hash-join partition count.
@@ -200,10 +202,6 @@ def asof_join(left, right, on: str, by: str,
     import numpy as np
     import pandas as pd
 
-    def _pa_schema(ds) -> pa.Schema:
-        s = ds.schema()  # ray.data.Schema wrapper, not pyarrow
-        return pa.schema(list(zip(s.names, s.types)))
-
     left_schema = _pa_schema(left)
     right_schema = _pa_schema(right)
     lcols = list(left_schema.names)
@@ -259,23 +257,26 @@ def asof_join(left, right, on: str, by: str,
         rf = g[g["_aside"] == 1][[by] + [ren[c] for c in rcols]]
         rf = rf.sort_values(out_on_r, kind="mergesort") \
             .reset_index(drop=True)
-        # restore int dtypes (the null-padded union upcasts the other
-        # side's int columns to float)
+        # restore DECLARED int dtypes (the null-padded union upcasts
+        # the other side's int columns to float; str(pa type) is the
+        # matching pandas dtype string, so narrow ints keep width)
         for c in lcols:
             if pa.types.is_integer(left_schema.field(c).type):
-                lf[c] = lf[c].astype("int64")
+                lf[c] = lf[c].astype(str(left_schema.field(c).type))
         for c in rcols:
             if pa.types.is_integer(right_schema.field(c).type):
-                rf[ren[c]] = rf[ren[c]].astype("int64")
+                rf[ren[c]] = rf[ren[c]].astype(
+                    str(right_schema.field(c).type))
         if pa.types.is_integer(left_schema.field(by).type):
-            rf[by] = rf[by].astype("int64")
+            rf[by] = rf[by].astype(str(left_schema.field(by).type))
         out = pd.merge_asof(lf, rf, left_on=on, right_on=out_on_r,
                             by=by, direction=direction)
         if not keep_unmatched:
             out = out.dropna(subset=[out_on_r])
             for c in rcols:
                 if pa.types.is_integer(right_schema.field(c).type):
-                    out[ren[c]] = out[ren[c]].astype("int64")
+                    out[ren[c]] = out[ren[c]].astype(
+                        str(right_schema.field(c).type))
         return out[out_cols]
 
     return (
@@ -314,10 +315,6 @@ def band_join(left, right, on: str, delta, by: str | None = None,
 
     if not delta > 0:
         raise ValueError("band_join: delta must be > 0")
-
-    def _pa_schema(ds) -> pa.Schema:
-        s = ds.schema()
-        return pa.schema(list(zip(s.names, s.types)))
 
     left_schema = _pa_schema(left)
     right_schema = _pa_schema(right)

@@ -1,0 +1,137 @@
+"""Generic distributed ranking operators: per-group top-k and
+deterministic stratified sampling.
+
+Beyond-reference first-class ops for training-data pipelines (the
+reference's closest analogue is its per-left top-k match selection,
+addresskit/match.py:207-218, which raylink.match generalizes for the
+linkage path — this module exposes the pattern as a standalone API
+over ANY dataset):
+
+- ``top_k_per_group``: keep the k best rows of every group by an
+  order column (e.g. the k highest-quality documents per domain, the
+  k most recent events per user).
+- ``stratified_sample``: keep AT MOST k rows per group, chosen by a
+  seed-keyed multiplicative hash of an id column — a deterministic,
+  blocking/parallelism-invariant balanced sample (e.g. class-balanced
+  training subsets). The hash is exactly reproducible in SQL
+  (``sample_hash_sql_expr``), so the operator is oracle-checkable
+  bit-for-bit against DuckDB's ``row_number() OVER (PARTITION BY ...)``.
+
+Scale shape (both): ONE co-shuffle. Rows are hash-bucketed on the
+group column into <= ``num_buckets`` shuffle groups (NEVER one pandas
+frame per group — the measured per-tiny-group overhead is ~1-3 ms),
+then each bucket resolves with one vectorized stable sort + a C-level
+``groupby(...).cumcount()`` rank. Partitioning assumption: any single
+bucket fits one worker's heap; raise ``num_buckets`` for bigger
+inputs or saltier group keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PHI64 = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio, odd
+
+
+from .blocks import dataset_schema as _pa_schema
+
+
+def _with_group_bucket(ds, group_col: str, num_buckets: int):
+    """Append an int32 ``_rb`` hash-bucket column derived from
+    ``group_col`` (pd.util.hash_array: deterministic, any dtype)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hb = np.asarray(
+            pd.util.hash_array(
+                t.column(group_col).to_numpy(zero_copy_only=False),
+                categorize=False) % np.uint64(num_buckets),
+            dtype=np.int32)
+        return t.append_column("_rb", pa.array(hb))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def sample_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """The stratified-sample rank key: ``((id + seed) * PHI64) mod
+    2^64`` on wrapping uint64 arithmetic. Python-side twin of
+    :func:`sample_hash_sql_expr`; row-local, hence invariant to
+    blocking and parallelism (same property as the content-hash
+    sampler in learned.collect_train_split)."""
+    return ((ids.astype(np.uint64) + np.uint64(seed)) * _PHI64)
+
+
+def sample_hash_sql_expr(id_col: str, seed: int) -> str:
+    """DuckDB expression computing exactly :func:`sample_hash`
+    (HUGEINT product mod 2^64 == wrapping uint64 product). The final
+    CAST to UBIGINT keeps the value exact through clients that coerce
+    HUGEINT to float64 (pandas .df())."""
+    return (f"CAST(((CAST({id_col} AS HUGEINT) + {seed}) * "
+            f"{int(_PHI64)}) % 18446744073709551616 AS UBIGINT)")
+
+
+def top_k_per_group(ds, group_col: str, order_col: str, k: int,
+                    descending: bool = True,
+                    tiebreak_col: str | None = None,
+                    num_buckets: int = 64):
+    """Keep the ``k`` best rows of every ``group_col`` group, ordered
+    by ``order_col`` (``descending=True`` -> largest first). Ties on
+    ``order_col`` break by ``tiebreak_col`` ascending when given
+    (pass one for a deterministic result set); remaining ties keep
+    input order (stable mergesort). Output columns == input columns;
+    row order within the result is unspecified (it's a set)."""
+    schema = _pa_schema(ds)
+    cols = list(schema.names)
+    sort_cols = [group_col, order_col] + (
+        [tiebreak_col] if tiebreak_col else [])
+    ascending = [True, not descending] + (
+        [True] if tiebreak_col else [])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if group_col not in g.columns or len(g) == 0:
+            return schema.empty_table().to_pandas()
+        g = g.sort_values(sort_cols, ascending=ascending,
+                          kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount()
+        return g[rank.to_numpy() < k][cols]
+
+    return (
+        _with_group_bucket(ds, group_col, num_buckets)
+        .groupby("_rb")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def stratified_sample(ds, group_col: str, id_col: str, k: int,
+                      seed: int = 42, num_buckets: int = 64):
+    """At most ``k`` rows per ``group_col`` group, picked as the k
+    smallest :func:`sample_hash` values of the integer ``id_col``
+    (ties on hash break by id — only possible for duplicate ids).
+    Deterministic for a fixed seed regardless of blocking or
+    parallelism, and bit-reproducible in SQL::
+
+        SELECT ... QUALIFY row_number() OVER (
+          PARTITION BY {group} ORDER BY {sample_hash_sql_expr}, {id}
+        ) <= k
+
+    Unlike fraction-based sampling this yields EXACT per-group counts
+    (min(k, group size)) — the balanced-classes contract a training
+    subset needs."""
+    schema = _pa_schema(ds)
+    cols = list(schema.names)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if group_col not in g.columns or len(g) == 0:
+            return schema.empty_table().to_pandas()
+        h = sample_hash(g[id_col].to_numpy(), seed)
+        g = g.assign(_sh=h).sort_values(
+            [group_col, "_sh", id_col], kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount()
+        return g[rank.to_numpy() < k][cols]
+
+    return (
+        _with_group_bucket(ds, group_col, num_buckets)
+        .groupby("_rb")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,99 @@
+"""raylink.ranking: per-group top-k and deterministic stratified
+sampling, each hash-checked against an in-test DuckDB window-function
+oracle (the driver gate is at its 50-query cap, so these beyond-
+reference operators carry their oracle here instead)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from raylink.ranking import (
+    sample_hash,
+    sample_hash_sql_expr,
+    stratified_sample,
+    top_k_per_group,
+)
+
+
+def _frame(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["tr", "en", "de", "fr"], size=n),
+        "score": rng.integers(0, 50, size=n).astype("int64"),
+    })
+
+
+def _sorted(df):
+    return (df.sort_values(list(df.columns))
+            .reset_index(drop=True))
+
+
+def test_top_k_per_group_matches_duckdb():
+    df = _frame()
+    got = top_k_per_group(
+        rd.from_pandas(df).repartition(6), "lang", "score", k=5,
+        descending=True, tiebreak_col="doc_id", num_buckets=8,
+    ).to_pandas()
+    want = duckdb.sql("""
+        SELECT doc_id, lang, score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+          FROM df) WHERE rn <= 5
+    """).df()
+    pd.testing.assert_frame_equal(_sorted(got[want.columns.tolist()]),
+                                  _sorted(want))
+    # every group contributes exactly k (all groups have >= 5 rows)
+    assert got.groupby("lang").size().eq(5).all()
+
+
+def test_top_k_per_group_ascending_small_groups():
+    df = pd.DataFrame({"g": ["a", "a", "b"], "v": [3, 1, 9],
+                       "id": [0, 1, 2]})
+    got = top_k_per_group(rd.from_pandas(df), "g", "v", k=2,
+                          descending=False, tiebreak_col="id",
+                          num_buckets=4).to_pandas()
+    want = df.iloc[[0, 1, 2]]  # both 'a' rows, the lone 'b' row
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_sample_hash_sql_parity():
+    ids = np.array([0, 1, 2, 10**12, 2**62, -5], dtype=np.int64)
+    py = sample_hash(ids, seed=42)
+    expr = sample_hash_sql_expr("i", 42)
+    tbl = pd.DataFrame({"rn": np.arange(len(ids)), "i": ids})
+    sql = duckdb.sql(
+        f"SELECT {expr} AS h FROM tbl ORDER BY rn").df()["h"]
+    assert [int(x) for x in sql] == [int(x) for x in py]
+
+
+def test_stratified_sample_matches_duckdb():
+    df = _frame()
+    got = stratified_sample(
+        rd.from_pandas(df).repartition(5), "lang", "doc_id", k=20,
+        seed=42, num_buckets=8).to_pandas()
+    expr = sample_hash_sql_expr("doc_id", 42)
+    want = duckdb.sql(f"""
+        SELECT doc_id, lang, score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY {expr}, doc_id) AS rn
+          FROM df) WHERE rn <= 20
+    """).df()
+    pd.testing.assert_frame_equal(_sorted(got[want.columns.tolist()]),
+                                  _sorted(want))
+    assert got.groupby("lang").size().eq(20).all()
+
+
+def test_stratified_sample_parallelism_invariant():
+    df = _frame(n=300, seed=3)
+    a = stratified_sample(rd.from_pandas(df).repartition(1),
+                          "lang", "doc_id", k=7, seed=9).to_pandas()
+    b = stratified_sample(rd.from_pandas(df).repartition(8),
+                          "lang", "doc_id", k=7, seed=9,
+                          num_buckets=16).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+    # a different seed picks a different subset
+    c = stratified_sample(rd.from_pandas(df).repartition(8),
+                          "lang", "doc_id", k=7, seed=10).to_pandas()
+    assert not _sorted(a).equals(_sorted(c))
