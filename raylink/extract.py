@@ -99,9 +99,25 @@ class ExtractText:
         return batch.append_column(self.out_col, out)
 
 
+def auto_extract_concurrency() -> int:
+    """Session-sized extract pool: ~cpus/4 actors, clamped [4, 16].
+    MORE actors than this is counterproductive — actor startup is pure
+    fixed cost and extraction is much lighter than the parse chain it
+    feeds. Measured at 2.44M pages / 32 CPUs: 32 actors -> prepare
+    26.8s; 16 -> 22.5s; 8 -> 20.0s (and no change at 8 CPUs with 4
+    actors vs 8)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(4, min(16, cpus // 4))
+
+
 def extract_dataset(pages, html_col: str = "html",
                     out_col: str = "text_extracted",
-                    concurrency: int = 4, batch_size: int = 8192,
+                    concurrency: int | None = 4, batch_size: int = 8192,
                     num_cpus: float = 0.5):
     """pages -> + text_extracted (actor pool; setup once per actor).
 
@@ -116,6 +132,8 @@ def extract_dataset(pages, html_col: str = "html",
     blocks made ~4800 parse tasks whose dispatch overhead did not
     shrink with CPUs (normalize+parse 8->32 scaling 2.36x); 8192 rows
     -> 256 blocks, 124s->106s at 8 CPUs and 53s->40s at 32."""
+    if concurrency is None:
+        concurrency = auto_extract_concurrency()
     return pages.map_batches(
         ExtractText,
         fn_constructor_kwargs={"html_col": html_col, "out_col": out_col},

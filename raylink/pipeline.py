@@ -68,7 +68,7 @@ def tag_sides(ds, url_col: str = "url",
 
 
 def prepare_pages(pages, normalize_cfg: dict | None = None,
-                  extract_concurrency: int = 4,
+                  extract_concurrency: int | None = 4,
                   drop_suspicious: bool = True,
                   with_parse: bool = False,
                   block_by: str | None = None,
@@ -116,7 +116,7 @@ def prepare_pages(pages, normalize_cfg: dict | None = None,
 def run_linkage(pages, match_cfg: MatchConfig | None = None,
                 normalize_cfg: dict | None = None,
                 checkpoint_dir: str | None = None,
-                extract_concurrency: int = 4,
+                extract_concurrency: int | None = 4,
                 with_clusters: bool = True,
                 with_unmatched: bool = True,
                 salt_hot_blocks: bool = True,
