@@ -196,9 +196,10 @@ def asof_join(left, right, on: str, by: str,
     (by, on) pick the LAST right row in (on, original order) — callers
     needing a deterministic tiebreak should pre-dedupe the right side.
     With ``keep_unmatched=False`` (default) unmatched left rows are
-    dropped (DuckDB's inner ``ASOF JOIN``); True keeps them with nulls
-    (``ASOF LEFT JOIN``), and integer right columns become float64
-    (pandas NaN) — cast downstream if needed."""
+    dropped (DuckDB's inner ``ASOF JOIN``); True keeps them with null
+    right columns (``ASOF LEFT JOIN``) at their DECLARED Arrow types —
+    no pandas float64/NaN upcast (value columns never round-trip
+    through pandas, so int64 beyond 2^53, e.g. epoch-ns, stays exact)."""
     import numpy as np
     import pandas as pd
 
@@ -248,40 +249,54 @@ def asof_join(left, right, on: str, by: str,
     )
     out_cols = [f.name for f in out_schema]
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if "_aside" not in g.columns or len(g) == 0:
-            # pinned empty schema — schema-less blocks break downstream ops
-            return out_schema.empty_table().to_pandas()
-        lf = g[g["_aside"] == 0][lcols].sort_values(
-            on, kind="mergesort").reset_index(drop=True)
-        rf = g[g["_aside"] == 1][[by] + [ren[c] for c in rcols]]
-        rf = rf.sort_values(out_on_r, kind="mergesort") \
-            .reset_index(drop=True)
-        # restore DECLARED int dtypes (the null-padded union upcasts
-        # the other side's int columns to float; str(pa type) is the
-        # matching pandas dtype string, so narrow ints keep width)
-        for c in lcols:
-            if pa.types.is_integer(left_schema.field(c).type):
-                lf[c] = lf[c].astype(str(left_schema.field(c).type))
-        for c in rcols:
-            if pa.types.is_integer(right_schema.field(c).type):
-                rf[ren[c]] = rf[ren[c]].astype(
-                    str(right_schema.field(c).type))
-        if pa.types.is_integer(left_schema.field(by).type):
-            rf[by] = rf[by].astype(str(left_schema.field(by).type))
-        out = pd.merge_asof(lf, rf, left_on=on, right_on=out_on_r,
-                            by=by, direction=direction)
+    rcols_ren = [ren[c] for c in rcols]
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # The asof itself runs on a NARROW (by, on, row-index) frame and
+        # the output is assembled with Arrow ``take`` on the original
+        # exact columns — the union-padded bucket never round-trips
+        # value columns through pandas float64, which is lossy beyond
+        # 2^53 (epoch-ns int64 timestamps). Row indices are always
+        # < 2^53, so they survive the float NaN-upcast unharmed, and a
+        # MASKED take index yields null rows for unmatched lefts.
+        if "_aside" not in g.column_names or g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g.column("_aside")
+        lt = g.filter(pc.equal(side, 0)).select(lcols)
+        rt = g.filter(pc.equal(side, 1)).select([by] + rcols_ren)
+        import numpy as np
+
+        lk = lt.select([by, on]).to_pandas()
+        lk["_li"] = np.arange(len(lk), dtype=np.int64)
+        lk = lk.sort_values(on, kind="mergesort")
+        if rt.num_rows == 0:
+            ri = np.full(len(lk), np.nan)
+            li = lk["_li"].to_numpy()
+        else:
+            rk = rt.select([by, out_on_r]).to_pandas()
+            rk["_ri"] = np.arange(len(rk), dtype=np.int64)
+            rk = rk.sort_values(out_on_r, kind="mergesort")
+            m = pd.merge_asof(lk, rk, left_on=on, right_on=out_on_r,
+                              by=by, direction=direction)
+            li = m["_li"].to_numpy()
+            ri = m["_ri"].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(ri)
         if not keep_unmatched:
-            out = out.dropna(subset=[out_on_r])
-            for c in rcols:
-                if pa.types.is_integer(right_schema.field(c).type):
-                    out[ren[c]] = out[ren[c]].astype(
-                        str(right_schema.field(c).type))
-        return out[out_cols]
+            li = li[valid]
+            ri = ri[valid]
+            valid = np.ones(len(li), dtype=bool)
+        ltab = lt.take(pa.array(li, pa.int64()))
+        ridx = pa.array(np.where(valid, ri, 0).astype(np.int64),
+                        mask=~valid)
+        rtab = rt.select(rcols_ren).take(ridx)
+        return pa.Table.from_arrays(
+            [ltab.column(c) for c in lcols]
+            + [rtab.column(c) for c in rcols_ren],
+            schema=out_schema)
 
     return (
         tagged.groupby("_ab")
-        .map_groups(merge_bucket, batch_format="pandas")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 

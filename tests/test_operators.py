@@ -452,6 +452,31 @@ def test_asof_join_matches_pandas_merge_asof():
             pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=not keep)
 
 
+def test_asof_join_exact_beyond_2_53():
+    """Value columns must NOT round-trip through pandas float64: int64
+    payloads beyond 2^53 (epoch-ns territory) have to arrive
+    bit-exact. The asof runs on a narrow key+row-index frame; values
+    are assembled via Arrow take."""
+    from raylink.joins import asof_join
+
+    big = (1 << 60) + np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    left = pd.DataFrame({"uid": [1, 1, 1, 2, 2],
+                         "t": [10, 20, 30, 10, 99],
+                         "lpay": big})
+    right = pd.DataFrame({"uid": [1, 1, 2],
+                          "t": [5, 25, 50],
+                          "rpay": (1 << 61) + np.array([7, 8, 9],
+                                                       dtype=np.int64)})
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="t", by="uid", num_buckets=4).to_pandas()
+    got = got.sort_values(["uid", "t"]).reset_index(drop=True)
+    # uid1: t=10,20 -> right t=5; t=30 -> right t=25; uid2: t=99 -> t=50
+    assert got["rpay_r"].tolist() == [(1 << 61) + 7, (1 << 61) + 7,
+                                      (1 << 61) + 8, (1 << 61) + 9]
+    assert got["lpay"].tolist() == [int(b) for b in big[[0, 1, 2, 4]]]
+    assert got["rpay_r"].dtype == np.int64 and got["lpay"].dtype == np.int64
+
+
 def test_band_join_matches_bruteforce():
     """band_join (bin-replicate co-shuffle) must produce exactly the
     brute-force |l-r| <= delta pair set, with and without a by-key,
