@@ -51,6 +51,12 @@ def main(argv=None) -> int:
                    help="parquet of gold (left_id, right_id) pairs; "
                         "adds pairwise precision/recall/F1 to the "
                         "report (ref scripts/eval.py:21-27)")
+    p.add_argument("--sample-per-cluster", type=int, default=0,
+                   metavar="K",
+                   help="write out/cluster_sample: the K "
+                        "lexicographically-first member ids of every "
+                        "cluster (deterministic QC sample, "
+                        "ranking.top_k_per_group)")
     args = p.parse_args(argv)
 
     import ray
@@ -115,6 +121,19 @@ def main(argv=None) -> int:
             left_id=match_cfg.left_id, right_id=match_cfg.right_id,
         ).write_parquet(target)
         report["preview"] = (
+            rd.read_parquet(target).count() if os.path.isdir(target)
+            and os.listdir(target) else 0
+        )
+
+    if args.sample_per_cluster and "clusters" in out:
+        from .ranking import top_k_per_group
+
+        target = os.path.join(args.out, "cluster_sample")
+        top_k_per_group(
+            out["clusters"], "cluster_id", "id",
+            k=args.sample_per_cluster, descending=False,
+        ).write_parquet(target)
+        report["cluster_sample"] = (
             rd.read_parquet(target).count() if os.path.isdir(target)
             and os.listdir(target) else 0
         )

@@ -1,0 +1,44 @@
+"""CLI e2e: python -m raylink.cli over a tiny pages fixture — outputs,
+report JSON, and the --sample-per-cluster QC step (top_k_per_group)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from raylink.cli import main
+from raylink.fixtures import build_pages
+
+
+def test_cli_end_to_end_with_cluster_sample(tmp_path, capsys):
+    pages, _ = build_pages(40, seed=42)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    out_dir = str(tmp_path / "out")
+
+    rc = main([
+        "--pages", pages_path, "--out", out_dir,
+        "--no-unmatched", "--no-salting",
+        "--sample-per-cluster", "2",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["edges"] > 0 and report["clusters"] > 0
+    assert report["cluster_sample"] > 0
+
+    sample = rd.read_parquet(
+        os.path.join(out_dir, "cluster_sample")).to_pandas()
+    clusters = rd.read_parquet(
+        os.path.join(out_dir, "clusters")).to_pandas()
+    # per-cluster counts: min(2, cluster size), members are the
+    # lexicographically-first ids of each cluster
+    sizes = clusters.groupby("cluster_id").size()
+    got = sample.groupby("cluster_id").size()
+    for cid, n in got.items():
+        assert n == min(2, sizes[cid])
+    first2 = (clusters.sort_values(["cluster_id", "id"])
+              .groupby("cluster_id").head(2))
+    assert (set(map(tuple, sample[["cluster_id", "id"]].values))
+            == set(map(tuple, first2[["cluster_id", "id"]].values)))
