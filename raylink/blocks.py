@@ -60,6 +60,11 @@ def dataset_schema(ds) -> pa.Schema:
     import numpy as np
 
     s = ds.schema()
+    if s is None:
+        # empty dataset whose blocks carry no schema (e.g. zero-edge
+        # clusters): behave as a zero-column schema so callers emit an
+        # empty result instead of crashing
+        return pa.schema([])
     fields = []
     for n, t in zip(s.names, s.types):
         if isinstance(t, pa.DataType):

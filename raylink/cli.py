@@ -125,12 +125,16 @@ def main(argv=None) -> int:
             and os.listdir(target) else 0
         )
 
-    if args.sample_per_cluster and "clusters" in out:
+    if args.sample_per_cluster and report.get("clusters"):
         from .ranking import top_k_per_group
 
         target = os.path.join(args.out, "cluster_sample")
+        # read the clusters parquet just written rather than sampling
+        # out["clusters"] — the latter is lazy and would re-execute
+        # the whole connected-components lineage a second time
         top_k_per_group(
-            out["clusters"], "cluster_id", "id",
+            rd.read_parquet(os.path.join(args.out, "clusters")),
+            "cluster_id", "id",
             k=args.sample_per_cluster, descending=False,
         ).write_parquet(target)
         report["cluster_sample"] = (

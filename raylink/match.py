@@ -93,12 +93,17 @@ def _effective_buckets(cfg) -> int:
 
 
 def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
-                  text_col: str, hot_keys=None):
+                  text_col: str, hot_keys=None,
+                  num_buckets: int | None = None):
     """Project to the unified side schema, add block key + salt.
     Right-side rows in hot blocks are replicated per salt value.
     ``hot_keys``: a set OR an ObjectRef to one (ray.put once by
     match_datasets; read per task instead of re-shipped in every task's
-    closure)."""
+    closure). ``num_buckets``: pass the SAME resolved value for both
+    sides of one match — resolving per side could disagree if the
+    cluster size changes between the two calls (e.g. a node joins),
+    and rows of one block would then land in different groups and
+    never meet."""
     import ray
 
     has_geo = {"lat", "lon"}.issubset(set(ds.schema().names))
@@ -109,7 +114,8 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
     ds = add_block_keys(ds, text_col, cfg.block_by,
                         allow_single_bucket=True, reuse=True)
 
-    num_buckets = _effective_buckets(cfg)
+    if num_buckets is None:
+        num_buckets = _effective_buckets(cfg)
 
     def project(batch: pa.Table) -> pa.Table:
         hot = (ray.get(hot_keys) if hot_is_ref else hot_keys) or set()
@@ -482,8 +488,14 @@ def match_datasets(left, right, cfg: MatchConfig | None = None,
 
     hot_ref = _ray.put(frozenset(hot_keys)) if hot_keys else None
 
-    lp = _prepare_side(left, cfg, 0, cfg.left_id, lt, hot_ref)
-    rp = _prepare_side(right, cfg, 1, cfg.right_id, rt, hot_ref)
+    # resolve the bucket count ONCE for both sides (a per-side resolve
+    # could see different cluster CPU totals and split blocks across
+    # bucket spaces — silent edge loss)
+    nb = _effective_buckets(cfg)
+    lp = _prepare_side(left, cfg, 0, cfg.left_id, lt, hot_ref,
+                       num_buckets=nb)
+    rp = _prepare_side(right, cfg, 1, cfg.right_id, rt, hot_ref,
+                       num_buckets=nb)
     both = lp.union(rp)
 
     # explicit partitioned hash join: groups = hash buckets (bounded

@@ -64,11 +64,15 @@ def sample_hash(ids: np.ndarray, seed: int) -> np.ndarray:
 
 def sample_hash_sql_expr(id_col: str, seed: int) -> str:
     """DuckDB expression computing exactly :func:`sample_hash`
-    (HUGEINT product mod 2^64 == wrapping uint64 product). The final
-    CAST to UBIGINT keeps the value exact through clients that coerce
-    HUGEINT to float64 (pandas .df())."""
-    return (f"CAST(((CAST({id_col} AS HUGEINT) + {seed}) * "
-            f"{int(_PHI64)}) % 18446744073709551616 AS UBIGINT)")
+    (HUGEINT product mod 2^64 == wrapping uint64 product). The modulo
+    is taken non-negatively — SQL ``%`` is C-style signed, so a
+    negative ``id + seed`` would otherwise yield a negative remainder
+    and fail the UBIGINT cast. The final CAST to UBIGINT keeps the
+    value exact through clients that coerce HUGEINT to float64
+    (pandas .df())."""
+    n = 18446744073709551616
+    prod = f"((CAST({id_col} AS HUGEINT) + {seed}) * {int(_PHI64)})"
+    return f"CAST((({prod} % {n}) + {n}) % {n} AS UBIGINT)"
 
 
 def top_k_per_group(ds, group_col: str, order_col: str, k: int,
@@ -93,7 +97,10 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
             return schema.empty_table().to_pandas()
         g = g.sort_values(sort_cols, ascending=ascending,
                           kind="mergesort")
-        rank = g.groupby(group_col, sort=False).cumcount()
+        # dropna=False: a null group key is a group like any other —
+        # SQL's row_number() keeps a NULL partition, and silently
+        # dropping those rows would diverge from the oracle
+        rank = g.groupby(group_col, sort=False, dropna=False).cumcount()
         return g[rank.to_numpy() < k][cols]
 
     return (
@@ -124,10 +131,17 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if group_col not in g.columns or len(g) == 0:
             return schema.empty_table().to_pandas()
-        h = sample_hash(g[id_col].to_numpy(), seed)
+        ids = g[id_col]
+        if ids.isna().any():
+            # NaN -> uint64 is platform-dependent garbage; a null id
+            # would get an arbitrary, irreproducible rank
+            raise ValueError(
+                f"stratified_sample: {id_col!r} contains nulls — the "
+                "hash rank requires non-null integer ids")
+        h = sample_hash(ids.to_numpy(), seed)
         g = g.assign(_sh=h).sort_values(
             [group_col, "_sh", id_col], kind="mergesort")
-        rank = g.groupby(group_col, sort=False).cumcount()
+        rank = g.groupby(group_col, sort=False, dropna=False).cumcount()
         return g[rank.to_numpy() < k][cols]
 
     return (

@@ -59,13 +59,46 @@ def test_top_k_per_group_ascending_small_groups():
 
 
 def test_sample_hash_sql_parity():
-    ids = np.array([0, 1, 2, 10**12, 2**62, -5], dtype=np.int64)
+    # id + seed < 0 exercises the non-negative-modulo path (SQL % is
+    # C-style signed; a negative remainder would fail the UBIGINT cast)
+    ids = np.array([0, 1, 2, 10**12, 2**62, -5, -100, -(2**40)],
+                   dtype=np.int64)
     py = sample_hash(ids, seed=42)
     expr = sample_hash_sql_expr("i", 42)
     tbl = pd.DataFrame({"rn": np.arange(len(ids)), "i": ids})
     sql = duckdb.sql(
         f"SELECT {expr} AS h FROM tbl ORDER BY rn").df()["h"]
     assert [int(x) for x in sql] == [int(x) for x in py]
+
+
+def test_top_k_per_group_null_group_matches_duckdb():
+    """Null group keys form their own partition (SQL row_number keeps
+    a NULL partition; silently dropping those rows would diverge)."""
+    df = pd.DataFrame({"g": ["a", "a", None, None, None],
+                       "v": [3, 1, 9, 7, 8],
+                       "id": [0, 1, 2, 3, 4]})
+    got = top_k_per_group(rd.from_pandas(df), "g", "v", k=2,
+                          descending=True, tiebreak_col="id",
+                          num_buckets=4).to_pandas()
+    want = duckdb.sql("""
+        SELECT g, v, id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY g ORDER BY v DESC, id) rn FROM df)
+        WHERE rn <= 2
+    """).df()
+    key = ["v", "id"]
+    pd.testing.assert_frame_equal(
+        _sorted(got[key]), _sorted(want[key]))
+    assert len(got) == 4  # 2 from 'a', 2 from the null group
+
+
+def test_stratified_sample_null_ids_raise():
+    import pytest
+
+    df = pd.DataFrame({"g": ["a", "b"], "i": pd.array([1, None],
+                                                      dtype="Int64")})
+    with pytest.raises(Exception, match="contains nulls"):
+        stratified_sample(rd.from_pandas(df), "g", "i", k=1).to_pandas()
 
 
 def test_stratified_sample_matches_duckdb():
