@@ -75,6 +75,30 @@ def sample_hash_sql_expr(id_col: str, seed: int) -> str:
     return f"CAST((({prod} % {n}) + {n}) % {n} AS UBIGINT)"
 
 
+def sample_hash_str(ids, seed: int) -> np.ndarray:
+    """String-id rank key: the first 8 md5 bytes of ``"{seed}:{id}"``
+    (UTF-8) as a big-endian uint64 — the SQL twin is
+    :func:`sample_hash_str_sql_expr`. hashlib per row (C speed per
+    call); acceptable for a sampling operator whose contract is exact
+    SQL reproducibility — a vectorized non-cryptographic hash has no
+    bit-exact DuckDB counterpart."""
+    import hashlib
+
+    out = np.empty(len(ids), dtype=np.uint64)
+    pre = f"{seed}:".encode()
+    for i, v in enumerate(ids):
+        d = hashlib.md5(pre + str(v).encode()).digest()
+        out[i] = int.from_bytes(d[:8], "big")
+    return out
+
+
+def sample_hash_str_sql_expr(id_col: str, seed: int) -> str:
+    """DuckDB expression computing exactly :func:`sample_hash_str`
+    (md5 hex prefix -> UBIGINT via a 0x literal cast)."""
+    return (f"CAST(('0x' || substr(md5('{seed}:' || {id_col}), 1, 16))"
+            " AS UBIGINT)")
+
+
 def top_k_per_group(ds, group_col: str, order_col: str, k: int,
                     descending: bool = True,
                     tiebreak_col: str | None = None,
@@ -113,13 +137,16 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
 def stratified_sample(ds, group_col: str, id_col: str, k: int,
                       seed: int = 42, num_buckets: int = 64):
     """At most ``k`` rows per ``group_col`` group, picked as the k
-    smallest :func:`sample_hash` values of the integer ``id_col``
-    (ties on hash break by id — only possible for duplicate ids).
-    Deterministic for a fixed seed regardless of blocking or
+    smallest hash-rank values of the ``id_col`` (ties on hash break by
+    id — only possible for duplicate ids). Integer ids rank by
+    :func:`sample_hash` (multiplicative, fully vectorized); string ids
+    — e.g. the flagship's urls — by :func:`sample_hash_str` (md5
+    prefix). Deterministic for a fixed seed regardless of blocking or
     parallelism, and bit-reproducible in SQL::
 
         SELECT ... QUALIFY row_number() OVER (
-          PARTITION BY {group} ORDER BY {sample_hash_sql_expr}, {id}
+          PARTITION BY {group}
+          ORDER BY {sample_hash[_str]_sql_expr}, {id}
         ) <= k
 
     Unlike fraction-based sampling this yields EXACT per-group counts
@@ -127,6 +154,11 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
     subset needs."""
     schema = _pa_schema(ds)
     cols = list(schema.names)
+    id_field = (schema.field(id_col)
+                if id_col in schema.names else None)
+    use_str = id_field is not None and (
+        pa.types.is_string(id_field.type)
+        or pa.types.is_large_string(id_field.type))
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if group_col not in g.columns or len(g) == 0:
@@ -138,7 +170,8 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
             raise ValueError(
                 f"stratified_sample: {id_col!r} contains nulls — the "
                 "hash rank requires non-null integer ids")
-        h = sample_hash(ids.to_numpy(), seed)
+        h = (sample_hash_str(ids.to_numpy(), seed) if use_str
+             else sample_hash(ids.to_numpy(), seed))
         g = g.assign(_sh=h).sort_values(
             [group_col, "_sh", id_col], kind="mergesort")
         rank = g.groupby(group_col, sort=False, dropna=False).cumcount()

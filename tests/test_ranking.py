@@ -130,3 +130,38 @@ def test_stratified_sample_parallelism_invariant():
     c = stratified_sample(rd.from_pandas(df).repartition(8),
                           "lang", "doc_id", k=7, seed=10).to_pandas()
     assert not _sorted(a).equals(_sorted(c))
+
+
+def test_stratified_sample_string_ids_matches_duckdb():
+    """String ids (urls) rank by the md5-prefix hash; DuckDB twin is
+    sample_hash_str_sql_expr."""
+    from raylink.ranking import sample_hash_str, sample_hash_str_sql_expr
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "url": [f"https://site{s}.example/p/{i}"
+                for i, s in enumerate(rng.choice(["L", "R"], size=300))],
+        "lang": rng.choice(["tr", "en", "de"], size=300),
+    })
+    # hash parity first (incl. non-ascii)
+    ids = np.array(["a", "ü-ğ", "https://x/1"], dtype=object)
+    py = sample_hash_str(ids, seed=9)
+    tbl = pd.DataFrame({"rn": range(len(ids)), "i": ids})
+    sql = duckdb.sql(
+        f"SELECT {sample_hash_str_sql_expr('i', 9)} AS h FROM tbl "
+        "ORDER BY rn").df()["h"]
+    assert [int(x) for x in sql] == [int(x) for x in py]
+
+    got = stratified_sample(rd.from_pandas(df).repartition(4),
+                            "lang", "url", k=15, seed=9,
+                            num_buckets=8).to_pandas()
+    expr = sample_hash_str_sql_expr("url", 9)
+    want = duckdb.sql(f"""
+        SELECT url, lang FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY {expr}, url) rn FROM df)
+        WHERE rn <= 15
+    """).df()
+    pd.testing.assert_frame_equal(_sorted(got[want.columns.tolist()]),
+                                  _sorted(want))
+    assert got.groupby("lang").size().eq(15).all()
