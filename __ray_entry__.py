@@ -48,7 +48,6 @@ from raylink.parse import flatten_parts, parse_dataset
 from raylink.pipeline import run_linkage
 from raylink.quality import (
     add_quality_flags,
-    dedup_exact,
     filter_valid_text,
     flag_duplicates,
 )

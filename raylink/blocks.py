@@ -55,8 +55,12 @@ def dataset_schema(ds) -> pa.Schema:
     datasets report pa.DataType entries, but pandas-origin ones report
     numpy dtypes / Python classes (``object`` for strings). Used by
     operators that must pin an output schema before execution.
-    ``object`` dtype is mapped to ``pa.string()`` — the overwhelmingly
-    common meaning in this engine's frames."""
+
+    ``object`` dtype is ambiguous (str / bytes / list all report it);
+    mapping it blindly to ``pa.string()`` poisons downstream casts far
+    from the cause (ADVICE r3). When any object column exists, ONE row
+    is sniffed (``limit(1).take``) to resolve each object column from
+    its actual Python value; an empty dataset falls back to string."""
     import numpy as np
 
     s = ds.schema()
@@ -65,16 +69,34 @@ def dataset_schema(ds) -> pa.Schema:
         # clusters): behave as a zero-column schema so callers emit an
         # empty result instead of crashing
         return pa.schema([])
-    fields = []
+    object_cols = []
+    resolved: list[tuple[str, pa.DataType | None]] = []
     for n, t in zip(s.names, s.types):
         if isinstance(t, pa.DataType):
-            fields.append(pa.field(n, t))
+            resolved.append((n, t))
             continue
         try:
             dt = np.dtype(t)
         except TypeError:
             dt = np.dtype(object)
-        fields.append(pa.field(
-            n, pa.string() if dt == np.dtype(object)
-            else pa.from_numpy_dtype(dt)))
-    return pa.schema(fields)
+        if dt == np.dtype(object):
+            resolved.append((n, None))
+            object_cols.append(n)
+        else:
+            resolved.append((n, pa.from_numpy_dtype(dt)))
+    if object_cols:
+        sample = ds.limit(1).take(1)
+        row = sample[0] if sample else {}
+        sniffed = {}
+        for n in object_cols:
+            v = row.get(n)
+            if isinstance(v, (bytes, bytearray)):
+                sniffed[n] = pa.binary()
+            elif isinstance(v, (list, tuple, np.ndarray)):
+                sniffed[n] = pa.list_(
+                    pa.array(list(v)).type if len(v) else pa.string())
+            else:
+                sniffed[n] = pa.string()
+        resolved = [(n, sniffed[n] if t is None else t)
+                    for n, t in resolved]
+    return pa.schema([pa.field(n, t) for n, t in resolved])

@@ -201,7 +201,18 @@ def connected_components_blocked(edges, key_col: str = "block_key",
     per SURVEY §2.4 J8): edges[key_col] must be the blocking key both
     endpoints share; violate it and use :func:`connected_components`.
     """
-    num_buckets = 256
+    # session-sized (VERDICT r3 #10, same rationale as
+    # match._effective_buckets: ~32 groups per CPU with a 256 floor
+    # keeps scheduling waves balanced; bucket count never changes the
+    # output — disjoint blocks can't connect, so any grouping is exact)
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) \
+            if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    num_buckets = max(256, 32 * cpus)
 
     def to_bucket(batch: pa.Table) -> pa.Table:
         if key_col not in batch.column_names:
@@ -259,7 +270,9 @@ def connected_components_blocked(edges, key_col: str = "block_key",
             {"id": pa.array(uniq, pa.string()),
              "cluster_id": pa.array(uniq[labels], pa.string())})
 
-    return bucketed.repartition(64).groupby("_bucket").map_groups(
+    # pre-shuffle block count sized to the session (was a hardcoded 64)
+    nparts = max(8, min(64, cpus or 8))
+    return bucketed.repartition(nparts).groupby("_bucket").map_groups(
         per_bucket, batch_format="pyarrow")
 
 

@@ -175,6 +175,25 @@ def positional_join(left, right, left_id: str, right_id: str,
     )
 
 
+def _check_name_collisions(op: str, lcols, renamed_rcols, helpers):
+    """Fail fast (ADVICE r3): the co-shuffle injects helper columns and
+    suffix-renamed right columns into one pinned union schema — a left
+    column named like a helper, or a renamed right column colliding
+    with a left column, would silently corrupt that schema or surface
+    as a confusing Arrow error mid-shuffle."""
+    lset = set(lcols)
+    bad_helpers = [h for h in helpers if h in lset or h in renamed_rcols]
+    if bad_helpers:
+        raise ValueError(
+            f"{op}: column name(s) {bad_helpers} are reserved internal "
+            f"helper names — rename those input columns")
+    clash = sorted(set(renamed_rcols) & lset)
+    if clash:
+        raise ValueError(
+            f"{op}: suffix-renamed right column(s) {clash} collide with "
+            f"left columns — pick a different suffix")
+
+
 def asof_join(left, right, on: str, by: str,
               suffix: str = "_r", direction: str = "backward",
               num_buckets: int = 64, keep_unmatched: bool = False):
@@ -208,6 +227,8 @@ def asof_join(left, right, on: str, by: str,
     lcols = list(left_schema.names)
     rcols = [c for c in right_schema.names if c != by]
     ren = {c: c + suffix for c in rcols}
+    _check_name_collisions("asof_join", lcols, list(ren.values()),
+                           ["_ab", "_aside"])
     out_on_r = ren[on] if on in ren else on
     # ONE pinned union schema (both sides null-pad the other's columns
     # — unioning two different schemas breaks the groupby shuffle)
@@ -336,6 +357,8 @@ def band_join(left, right, on: str, delta, by: str | None = None,
     lcols = list(left_schema.names)
     rcols = [c for c in right_schema.names if c != by]
     ren = {c: c + suffix for c in rcols}
+    _check_name_collisions("band_join", lcols, list(ren.values()),
+                           ["_bin", "_bb", "_bside"])
     keycols = ([by] if by else [])
 
     full = pa.schema(

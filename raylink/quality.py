@@ -100,18 +100,6 @@ def scrub_newlines(ds, cols: list[str] | None = None,
                           batch_size=batch_size)
 
 
-def dedup_exact(ds, key_col: str, order_col: str):
-    """Keyed dedup keeping the deterministic first row (min order_col) —
-    reference drop_duplicates(subset=[...]) (clean_and_parse.py:264-273)
-    with a defined winner instead of file order. Shuffle on key_col."""
-    import pandas as pd
-
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_col).head(1)
-
-    return ds.groupby(key_col).map_groups(first, batch_format="pandas")
-
-
 def flag_duplicates(ds, key_col: str, out_col: str = "is_duplicate",
                     num_partitions: int = 16):
     """Mark (not drop) rows whose key occurs more than once —

@@ -159,6 +159,17 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
     use_str = id_field is not None and (
         pa.types.is_string(id_field.type)
         or pa.types.is_large_string(id_field.type))
+    if id_field is not None and not use_str and not (
+            pa.types.is_integer(id_field.type)):
+        # a float64 id (e.g. a pandas int-with-null upcast) would
+        # silently truncate via astype(uint64) while the SQL twin's
+        # CAST(.. AS HUGEINT) rounds — breaking the advertised
+        # bit-for-bit SQL reproducibility (ADVICE r3). Mirror the
+        # null-id guard: fail loudly instead.
+        raise TypeError(
+            f"stratified_sample: {id_col!r} must be integer- or "
+            f"string-typed for a SQL-reproducible hash rank, got "
+            f"{id_field.type}")
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if group_col not in g.columns or len(g) == 0:

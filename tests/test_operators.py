@@ -101,6 +101,16 @@ def test_simhash():
     assert (0, 1) in got
 
 
+def test_simhash_batch_matches_scalar():
+    from raylink.dedup import simhash64_batch
+
+    texts = ["the quick brown fox", "", None, "a a a b", "Quick  BROWN",
+             "x " * 300, "çünkü ağaç über", "one-token"]
+    got = simhash64_batch(texts)
+    want = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
 def test_embedding_near_dup():
     rng = np.random.RandomState(0)
     base = rng.randn(10, 16)

@@ -95,9 +95,27 @@ def test_top_k_per_group_null_group_matches_duckdb():
 def test_stratified_sample_null_ids_raise():
     import pytest
 
+    # pandas nullable Int64 surfaces as a float (double) schema through
+    # Ray — the dtype guard (ADVICE r3) rejects it BEFORE the hash
+    # could silently truncate
     df = pd.DataFrame({"g": ["a", "b"], "i": pd.array([1, None],
                                                       dtype="Int64")})
+    with pytest.raises(Exception,
+                       match="integer- or string-typed"):
+        stratified_sample(rd.from_pandas(df), "g", "i", k=1).to_pandas()
+
+    # null STRING ids pass the dtype guard and hit the null-id check
+    df2 = pd.DataFrame({"g": ["a", "b"], "i": ["x", None]})
     with pytest.raises(Exception, match="contains nulls"):
+        stratified_sample(rd.from_pandas(df2), "g", "i", k=1).to_pandas()
+
+
+def test_stratified_sample_float_ids_raise():
+    import pytest
+
+    df = pd.DataFrame({"g": ["a", "b"], "i": [1.5, 2.5]})
+    with pytest.raises(Exception,
+                       match="integer- or string-typed"):
         stratified_sample(rd.from_pandas(df), "g", "i", k=1).to_pandas()
 
 
