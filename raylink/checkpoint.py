@@ -1,13 +1,28 @@
-"""Per-stage Parquet checkpoints with fingerprint manifests + lineage
-metrics — the resumability story required by the north rule.
+"""Checkpoints with PER-PARTITION lineage + partition-granular resume
+— the resumability story required by the north rule ("resumable from
+checkpoint with per-partition lineage + metrics").
 
 Replaces the reference's md5-keyed pickle cache
 (scripts/baseline_submission.py:51-92) and its interim CSV files
-(README-ARCHITECTURE.md:112-117): each stage writes its output as a
-partitioned Parquet directory plus ``manifest.json`` recording
-(stage, config+upstream fingerprint, row count, wall seconds). A rerun
-whose fingerprint matches reads the Parquet back instead of recomputing
-— Ray Data provides no checkpointing itself, so this is explicit.
+(README-ARCHITECTURE.md:112-117). Two granularities:
+
+- :meth:`CheckpointManager.run` — stage-level: the stage output is
+  written as one Parquet directory plus ``manifest.json`` recording
+  (stage, config+upstream fingerprint, row count, wall seconds); a
+  rerun with the same fingerprint reads it back.
+
+- :meth:`CheckpointManager.run_partitioned` — partition-level, for
+  MAP-LIKE stages (every output row carries a stable id and derives
+  only from input rows with the same id-hash partition). Each
+  partition is written by its own task as an ATOMIC Parquet file
+  (tmp + rename) followed by a JSON sidecar under ``parts/`` —
+  crash-consistent without any driver involvement. A resumed run
+  scans the sidecars, SKIPS finished partitions at the input read
+  (their rows never reach the transform), recomputes only the missing
+  ones, and the lineage table gains one row per partition. A stage
+  that died 90% through recomputes only the missing 10%.
+
+Ray Data provides no checkpointing itself, so this is explicit.
 """
 
 from __future__ import annotations
@@ -16,11 +31,24 @@ import json
 import os
 import time
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
 
 from .config import fingerprint
+
+_PART_COL = "_ckpt_part"
+
+
+def partition_of(values, num_partitions: int) -> np.ndarray:
+    """Deterministic id -> partition map used on BOTH the input filter
+    and the output router (pd.util.hash_array: stable across processes
+    and dtypes, C-level)."""
+    arr = np.asarray(values)
+    return (pd.util.hash_array(arr, categorize=False)
+            % np.uint64(num_partitions)).astype(np.int32)
 
 
 class CheckpointManager:
@@ -29,26 +57,42 @@ class CheckpointManager:
         os.makedirs(root, exist_ok=True)
         self._lineage: list[dict] = []
 
+    # ------------------------------------------------------------------
+    # shared paths / manifest helpers
+    # ------------------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self._stage_dir(stage), "manifest.json")
 
-    def is_done(self, stage: str, fp: str) -> bool:
+    def _read_manifest(self, stage: str) -> dict | None:
         path = self._manifest_path(stage)
         if not os.path.exists(path):
-            return False
+            return None
         try:
             with open(path) as f:
-                manifest = json.load(f)
-            return manifest.get("fingerprint") == fp and manifest.get("done")
+                return json.load(f)
         except (json.JSONDecodeError, OSError):
-            return False
+            return None
+
+    def is_done(self, stage: str, fp: str) -> bool:
+        m = self._read_manifest(stage)
+        return bool(m and m.get("fingerprint") == fp and m.get("done"))
 
     def load(self, stage: str):
-        return rd.read_parquet(os.path.join(self._stage_dir(stage), "data"))
+        data_dir = os.path.join(self._stage_dir(stage), "data")
+        files = sorted(
+            os.path.join(data_dir, f) for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(data_dir) else []
+        if not files:
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet(files)
 
+    # ------------------------------------------------------------------
+    # stage-level checkpoint (coarse; any stage shape)
+    # ------------------------------------------------------------------
     def run(self, stage: str, fp_inputs, fn):
         """fn() -> Dataset; skipped (loaded from Parquet) when a manifest
         with the same fingerprint exists. fp_inputs: any JSON-able
@@ -63,8 +107,12 @@ class CheckpointManager:
         ds = fn()
         data_dir = os.path.join(self._stage_dir(stage), "data")
         os.makedirs(data_dir, exist_ok=True)
+        for name in os.listdir(data_dir):
+            # stale files from an older fingerprint would otherwise be
+            # read back alongside the fresh write
+            os.remove(os.path.join(data_dir, name))
         ds.write_parquet(data_dir)
-        out = rd.read_parquet(data_dir)
+        out = self.load(stage)
         rows = out.count()
         wall = time.perf_counter() - t0
         record = {
@@ -79,15 +127,199 @@ class CheckpointManager:
         self._lineage.append({**record, "skipped": False})
         return out, fp
 
+    # ------------------------------------------------------------------
+    # partition-level checkpoint (map-like stages)
+    # ------------------------------------------------------------------
+    def _parts_dir(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "parts")
+
+    def done_partitions(self, stage: str, fp: str) -> dict[int, dict]:
+        """{partition: sidecar record} for every crash-consistent
+        per-partition sidecar whose fingerprint matches ``fp``."""
+        pdir = self._parts_dir(stage)
+        if not os.path.isdir(pdir):
+            return {}
+        done: dict[int, dict] = {}
+        for name in os.listdir(pdir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(pdir, name)) as f:
+                    rec = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            if rec.get("fingerprint") == fp and "partition" in rec:
+                done[int(rec["partition"])] = rec
+        return done
+
+    def run_partitioned(self, stage: str, fp_inputs, ds_in, fn,
+                        id_col: str, out_id_col: str | None = None,
+                        num_partitions: int = 32,
+                        _inject_fail_partitions=None):
+        """Partition-granular checkpoint/resume for MAP-LIKE stages.
+
+        CONTRACT: ``fn(ds) -> Dataset`` where every output row carries
+        ``out_id_col`` (default ``id_col``) and derives ONLY from input
+        rows whose ``id_col`` value hashes to the same partition
+        (partition = hash(id) % num_partitions). Any per-row transform
+        — including filters and row expansions — keyed on a stable id
+        satisfies this; so does blocked pairwise matching keyed on the
+        block key (every edge lives inside one block).
+
+        Each partition is written by its own task: Parquet via
+        tmp + ``os.rename`` (atomic on POSIX), then a JSON sidecar
+        (partition, rows, fingerprint, wall_s). Sidecar presence IS the
+        completion record — it survives a driver crash. On resume,
+        finished partitions are dropped from the INPUT with a
+        vectorized mask (their rows never reach ``fn``), stale files
+        from older fingerprints are cleared, and only missing
+        partitions recompute.
+
+        Scale note: routing the output to one file per partition is a
+        hash shuffle (``groupby(partition)``) — the price of exact
+        partition ownership. Size ``num_partitions`` so a partition
+        fits a worker's heap; at cluster scale use O(input shards).
+
+        ``_inject_fail_partitions``: fault-injection hook for tests —
+        the writer raises for those partitions INSTEAD of writing,
+        simulating a mid-write crash.
+        """
+        out_id_col = out_id_col or id_col
+        fp = fingerprint({"stage": stage, "inputs": fp_inputs,
+                          "num_partitions": num_partitions,
+                          "granularity": "partition"})
+        sdir = self._stage_dir(stage)
+        data_dir = os.path.join(sdir, "data")
+        parts_dir = self._parts_dir(stage)
+        os.makedirs(data_dir, exist_ok=True)
+        os.makedirs(parts_dir, exist_ok=True)
+
+        done = self.done_partitions(stage, fp)
+        if self.is_done(stage, fp):
+            for p, rec in sorted(done.items()):
+                self._lineage.append({
+                    "stage": stage, "partition": p, "fingerprint": fp,
+                    "rows_out": rec.get("rows"),
+                    "wall_s": rec.get("wall_s"), "skipped": True})
+            return self.load(stage), fp
+
+        # clear stale artifacts of NOT-done partitions (older
+        # fingerprints, interrupted tmp files) so a recomputed-empty
+        # partition can't leave a stale file behind for load()
+        done_names = {f"part-{p:05d}" for p in done}
+        for d, suffix in ((data_dir, ".parquet"), (parts_dir, ".json")):
+            for name in os.listdir(d):
+                stem = name.split(".")[0]
+                if not name.endswith(suffix) or stem not in done_names:
+                    os.remove(os.path.join(d, name))
+
+        t0 = time.perf_counter()
+        done_list = sorted(done)
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            if id_col not in t.column_names or t.num_rows == 0:
+                return t
+            part = partition_of(
+                np.asarray(t.column(id_col)), num_partitions)
+            return t.filter(
+                pa.array(~np.isin(part, done_list)))
+
+        pending_in = (ds_in.map_batches(drop_done, batch_format="pyarrow")
+                      if done else ds_in)
+        out = fn(pending_in)
+
+        def route(t: pa.Table) -> pa.Table:
+            if out_id_col not in t.column_names:
+                # loud contract violation (empty blocks skip the UDF,
+                # so reaching here means fn really dropped the id)
+                raise ValueError(
+                    f"run_partitioned({stage!r}): fn output lacks the "
+                    f"routing column {out_id_col!r}")
+            part = partition_of(
+                np.asarray(t.column(out_id_col)), num_partitions)
+            if _PART_COL in t.column_names:
+                t = t.drop_columns([_PART_COL])
+            return t.append_column(_PART_COL, pa.array(part))
+
+        inject = set(_inject_fail_partitions or ())
+        manifest_schema = pa.schema([
+            ("partition", pa.int32()), ("rows", pa.int64()),
+            ("wall_s", pa.float64())])
+
+        def write_part(g: pa.Table) -> pa.Table:
+            if _PART_COL not in g.column_names or g.num_rows == 0:
+                return manifest_schema.empty_table()
+            p = int(g.column(_PART_COL)[0].as_py())
+            if p in inject:
+                raise RuntimeError(
+                    f"injected failure for partition {p}")
+            tw0 = time.perf_counter()
+            tbl = g.drop_columns([_PART_COL])
+            import pyarrow.parquet as pq
+
+            final = os.path.join(data_dir, f"part-{p:05d}.parquet")
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, final)
+            rec = {"partition": p, "rows": tbl.num_rows,
+                   "fingerprint": fp,
+                   "wall_s": round(time.perf_counter() - tw0, 3)}
+            spath = os.path.join(parts_dir, f"part-{p:05d}.json")
+            stmp = spath + f".tmp{os.getpid()}"
+            with open(stmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(stmp, spath)
+            return pa.table({
+                "partition": pa.array([p], pa.int32()),
+                "rows": pa.array([tbl.num_rows], pa.int64()),
+                "wall_s": pa.array([rec["wall_s"]], pa.float64())})
+
+        written = (
+            out.map_batches(route, batch_format="pyarrow")
+            .groupby(_PART_COL)
+            .map_groups(write_part, batch_format="pyarrow")
+            .take_all()
+        )
+        wall = time.perf_counter() - t0
+        for p, rec in sorted(done.items()):
+            self._lineage.append({
+                "stage": stage, "partition": p, "fingerprint": fp,
+                "rows_out": rec.get("rows"),
+                "wall_s": rec.get("wall_s"), "skipped": True})
+        for r in sorted(written, key=lambda r: r["partition"]):
+            self._lineage.append({
+                "stage": stage, "partition": int(r["partition"]),
+                "fingerprint": fp, "rows_out": int(r["rows"]),
+                "wall_s": float(r["wall_s"]), "skipped": False})
+        record = {
+            "stage": stage, "fingerprint": fp, "done": True,
+            "granularity": "partition",
+            "num_partitions": num_partitions,
+            "partitions_resumed": len(done),
+            "partitions_computed": len(written),
+            "rows_out": int(sum(r["rows"] for r in written)
+                            + sum(rec.get("rows", 0)
+                                  for rec in done.values())),
+            "wall_s": round(wall, 3),
+        }
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(record, f)
+        return self.load(stage), fp
+
     def write_lineage(self) -> str:
-        """Lineage/metrics table -> Parquet (SURVEY §1.3 lineage row:
-        stage, rows_out, wall_s, fingerprint)."""
+        """Lineage/metrics table -> Parquet. One row per stage for
+        stage-level checkpoints, one row PER PARTITION for partitioned
+        ones (north rule: per-partition lineage + metrics); the
+        ``partition`` column is null on stage-level rows."""
         path = os.path.join(self.root, "lineage")
         os.makedirs(path, exist_ok=True)
         tbl = pa.table(
             {
                 "stage": pa.array(
                     [r["stage"] for r in self._lineage], pa.string()),
+                "partition": pa.array(
+                    [r.get("partition") for r in self._lineage],
+                    pa.int32()),
                 "fingerprint": pa.array(
                     [r["fingerprint"] for r in self._lineage], pa.string()),
                 "rows_out": pa.array(

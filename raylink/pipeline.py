@@ -127,8 +127,9 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
     cfg = match_cfg or MatchConfig()
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
 
-    def _prepared():
-        return prepare_pages(pages, normalize_cfg,
+    def _prepared(src=None):
+        return prepare_pages(src if src is not None else pages,
+                             normalize_cfg,
                              extract_concurrency=extract_concurrency,
                              with_parse=with_parse,
                              block_by=cfg.block_by)
@@ -140,10 +141,13 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
     # The staged design (materialize the slim prepared once, then one
     # tagged scan into the shuffle) wins on both wall time and reuse.
     if ckpt:
-        prepared, prep_fp = ckpt.run(
+        # partition-granular: prepare is per-row keyed on url, so a
+        # resumed run skips finished url-hash partitions at the read
+        prepared, prep_fp = ckpt.run_partitioned(
             "prepared",
-            {"normalize": normalize_cfg or DEFAULT_NORMALIZE_CFG},
-            _prepared,
+            {"normalize": normalize_cfg or DEFAULT_NORMALIZE_CFG,
+             "parse": with_parse, "block_by": cfg.block_by},
+            pages, _prepared, id_col="url",
         )
     else:
         # prepared feeds 2-4 consumers (left/right sides, hot-block
@@ -164,16 +168,17 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
 
     tagged_path = (cfg.left_id == cfg.right_id and cfg.method != "index")
 
-    def _edges():
+    def _edges(src=None):
+        base = src if src is not None else prepared
         if tagged_path:
             # one tagged scan of prepared instead of two filtered
             # scans + union
             from .match import match_tagged
 
             return match_tagged(
-                tag_sides(prepared), cfg, text_col="addr_norm",
+                tag_sides(base), cfg, text_col="addr_norm",
                 id_col=cfg.left_id, hot_keys=hot)
-        left, right = split_left_right(prepared)
+        left, right = split_left_right(base)
         return match_datasets(
             left, right, cfg,
             left_text_col="addr_norm", right_text_col="addr_norm",
@@ -181,9 +186,18 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
         )
 
     if ckpt:
-        edges, edges_fp = ckpt.run(
-            "edges", {"prep": prep_fp, "match": cfg.to_dict(),
-                      "hot": sorted(hot)}, _edges)
+        edges_fp_inputs = {"prep": prep_fp, "match": cfg.to_dict(),
+                           "hot": sorted(hot)}
+        if cfg.block_by and "block_key" in (prepared.schema().names or []):
+            # partition-granular: every edge lives inside one blocking
+            # key (both endpoints share it), so edges keyed on
+            # block_key satisfy the run_partitioned contract — a
+            # resumed match recomputes only missing key-hash partitions
+            edges, edges_fp = ckpt.run_partitioned(
+                "edges", edges_fp_inputs, prepared, _edges,
+                id_col="block_key")
+        else:
+            edges, edges_fp = ckpt.run("edges", edges_fp_inputs, _edges)
     else:
         # edges feed both the clusters stage and the unmatched
         # anti-joins — materialize so the match shuffle runs once

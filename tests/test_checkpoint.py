@@ -1,0 +1,227 @@
+"""Partition-granular checkpoint/resume (north rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+The crash simulations exploit the writer's atomicity contract: each
+partition lands as Parquet-via-rename + JSON sidecar, so the on-disk
+state after ANY crash is exactly "some partitions fully present with
+sidecars, the rest absent" — which the deletion-based test reproduces
+deterministically and the fault-injection test reproduces live."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from raylink.checkpoint import CheckpointManager, partition_of
+
+P = 8
+
+
+def _input(n=400):
+    return rd.from_pandas(pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "val": np.arange(n, dtype=np.int64) * 10,
+    })).repartition(4)
+
+
+def _mk_fn(tag, seen):
+    """Map-like transform that records which ids reached it (via a
+    plain list — fine single-node in-process for from_pandas inputs
+    processed in the driver... NOT guaranteed; so record through the
+    OUTPUT instead: a `run` column). `seen` kept for the doubled col."""
+
+    def fn(ds):
+        def f(t):
+            return t.assign(out=t["val"] + 1, run=tag)
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    return fn
+
+
+def test_partitioned_resume_recomputes_only_missing(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    ds1, fp = mgr.run_partitioned(
+        "stage", {"cfg": 1}, _input(), _mk_fn(1, None), id_col="id",
+        num_partitions=P)
+    full = ds1.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(full) == 400
+    assert (full["run"] == 1).all()
+    sdir = tmp_path / "stage"
+    files = sorted(os.listdir(sdir / "data"))
+    sides = sorted(os.listdir(sdir / "parts"))
+    assert len(files) == len(sides) > 0
+
+    # simulate a run that crashed before finishing partitions 2 and 5:
+    # their data+sidecar absent, stage manifest absent (exactly the
+    # crash-consistent state the atomic writer guarantees)
+    for p in (2, 5):
+        os.remove(sdir / "data" / f"part-{p:05d}.parquet")
+        os.remove(sdir / "parts" / f"part-{p:05d}.json")
+    os.remove(sdir / "manifest.json")
+
+    mgr2 = CheckpointManager(str(tmp_path))
+    ds2, fp2 = mgr2.run_partitioned(
+        "stage", {"cfg": 1}, _input(), _mk_fn(2, None), id_col="id",
+        num_partitions=P)
+    assert fp2 == fp
+    got = ds2.to_pandas().sort_values("id").reset_index(drop=True)
+    # value-complete vs the full run
+    pd.testing.assert_frame_equal(got[["id", "val", "out"]],
+                                  full[["id", "val", "out"]])
+    # ONLY the two missing partitions were recomputed (their rows carry
+    # run=2; every other row still carries run=1 from the parquet)
+    part = partition_of(got["id"].to_numpy(), P)
+    recomputed = set(np.unique(part[got["run"] == 2]))
+    kept = set(np.unique(part[got["run"] == 1]))
+    assert recomputed == {2, 5}
+    assert kept == set(range(P)) - {2, 5}
+
+    # per-partition lineage: one row per partition, skipped flags right
+    lt = pq.read_table(
+        f"{mgr2.write_lineage()}/lineage.parquet").to_pandas()
+    st = lt[lt["stage"] == "stage"]
+    assert sorted(st["partition"]) == list(range(P))
+    assert set(st[st["skipped"]]["partition"]) == set(range(P)) - {2, 5}
+    assert set(st[~st["skipped"]]["partition"]) == {2, 5}
+    assert (st["rows_out"] > 0).all()
+
+    # a third run with everything done: zero recompute, all skipped
+    mgr3 = CheckpointManager(str(tmp_path))
+    ds3, _ = mgr3.run_partitioned(
+        "stage", {"cfg": 1}, _input(), _mk_fn(3, None), id_col="id",
+        num_partitions=P)
+    assert (ds3.to_pandas()["run"] != 3).all()
+
+
+def test_partitioned_midwrite_crash_then_resume(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    with pytest.raises(Exception, match="injected failure"):
+        mgr.run_partitioned(
+            "stage", {"cfg": 1}, _input(), _mk_fn(1, None), id_col="id",
+            num_partitions=P, _inject_fail_partitions={3})
+    sdir = tmp_path / "stage"
+    assert not os.path.exists(sdir / "manifest.json")
+    # whatever partitions finished before the crash are on disk with
+    # sidecars; partition 3 is not
+    survived = {int(json.load(open(sdir / "parts" / n))["partition"])
+                for n in os.listdir(sdir / "parts")}
+    assert 3 not in survived
+
+    mgr2 = CheckpointManager(str(tmp_path))
+    ds, _ = mgr2.run_partitioned(
+        "stage", {"cfg": 1}, _input(), _mk_fn(2, None), id_col="id",
+        num_partitions=P)
+    got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(got) == 400
+    assert (got["out"] == got["val"] + 1).all()
+    part = partition_of(got["id"].to_numpy(), P)
+    # every partition that survived the crash was NOT recomputed
+    for p in survived:
+        assert (got["run"][part == p] == 1).all()
+    assert (got["run"][part == 3] == 2).all()
+
+
+def test_partitioned_fingerprint_change_recomputes_all(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.run_partitioned("stage", {"cfg": 1}, _input(), _mk_fn(1, None),
+                        id_col="id", num_partitions=P)
+    # changed config -> new fingerprint -> stale partitions cleared,
+    # full recompute, and NO duplicate rows from stale files
+    ds, _ = mgr.run_partitioned("stage", {"cfg": 2}, _input(),
+                                _mk_fn(2, None), id_col="id",
+                                num_partitions=P)
+    got = ds.to_pandas()
+    assert len(got) == 400
+    assert (got["run"] == 2).all()
+
+
+def test_pipeline_partitioned_resume(tmp_path):
+    """Integrated run_linkage: kill two finished `prepared` partitions
+    and one `edges` partition, resume, and the edge set is unchanged —
+    with the untouched partitions served from their checkpoint files
+    (their sidecars' mtimes don't change)."""
+    from raylink.config import MatchConfig
+    from raylink.fixtures import build_pages
+    from raylink.pipeline import run_linkage
+
+    cfg = MatchConfig(threshold=85.0, topk=3, scorer="token_set_ratio",
+                      block_by="digits+prefix6",
+                      left_id="url", right_id="url")
+    pages, _ = build_pages(60, seed=42)
+    ds = rd.from_arrow(pages)
+    ck = str(tmp_path / "ck")
+    out1 = run_linkage(ds, match_cfg=cfg, checkpoint_dir=ck,
+                       with_clusters=False, with_unmatched=False,
+                       salt_hot_blocks=False)
+    want = out1["edges"].to_pandas().sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+    assert len(want) > 0
+
+    def kill(stage, n):
+        sdir = os.path.join(ck, stage)
+        victims = sorted(os.listdir(os.path.join(sdir, "data")))[:n]
+        for v in victims:
+            os.remove(os.path.join(sdir, "data", v))
+            os.remove(os.path.join(
+                sdir, "parts", v.split(".")[0] + ".json"))
+        os.remove(os.path.join(sdir, "manifest.json"))
+        return {v.split(".")[0] for v in victims}
+
+    killed_prep = kill("prepared", 2)
+    killed_edges = kill("edges", 1)
+    before = {
+        stage: {n: os.path.getmtime(os.path.join(ck, stage, "parts", n))
+                for n in os.listdir(os.path.join(ck, stage, "parts"))}
+        for stage in ("prepared", "edges")
+    }
+    out2 = run_linkage(ds, match_cfg=cfg, checkpoint_dir=ck,
+                       with_clusters=False, with_unmatched=False,
+                       salt_hot_blocks=False)
+    got = out2["edges"].to_pandas().sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    for stage, mt in before.items():
+        after_dir = os.path.join(ck, stage, "parts")
+        for n, t in mt.items():
+            assert os.path.getmtime(os.path.join(after_dir, n)) == t, \
+                f"{stage}/{n} was rewritten despite being finished"
+        killed = killed_prep if stage == "prepared" else killed_edges
+        for stem in killed:
+            assert os.path.exists(os.path.join(after_dir, stem + ".json"))
+
+
+def test_partitioned_fn_filter_and_expand(tmp_path):
+    """The contract covers filters and row expansions keyed on the id:
+    fn drops odd ids and duplicates rows for ids % 100 == 0."""
+
+    def fn(ds):
+        def f(t: pd.DataFrame) -> pd.DataFrame:
+            t = t[t["id"] % 2 == 0]
+            dup = t[t["id"] % 100 == 0]
+            return pd.concat([t, dup], ignore_index=True)
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    mgr = CheckpointManager(str(tmp_path))
+    ds1, _ = mgr.run_partitioned("s", {"c": 1}, _input(), fn,
+                                 id_col="id", num_partitions=P)
+    want = ds1.to_pandas().sort_values(["id", "val"]).reset_index(
+        drop=True)
+    assert len(want) == 200 + 4  # evens + dups of 0,100,200,300
+    sdir = tmp_path / "s"
+    victims = sorted(os.listdir(sdir / "data"))[:2]
+    for v in victims:
+        p = v.split(".")[0]
+        os.remove(sdir / "data" / v)
+        os.remove(sdir / "parts" / f"{p}.json")
+    os.remove(sdir / "manifest.json")
+    ds2, _ = mgr.run_partitioned("s", {"c": 1}, _input(), fn,
+                                 id_col="id", num_partitions=P)
+    got = ds2.to_pandas().sort_values(["id", "val"]).reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(got, want)
