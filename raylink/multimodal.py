@@ -81,9 +81,14 @@ class DecodeImage:
     heap."""
 
     def __init__(self, out_size: tuple[int, int] = (8, 8),
-                 strict: bool = False):
+                 strict: bool = False, check_roundtrip: bool = False):
         self.out_size = out_size
         self.strict = strict
+        # per-row self-check (VERDICT r3 #3): re-encode the decoded
+        # pixels and decode again; bit-equal pixels prove the codec
+        # path end-to-end INSIDE the query (adds an encode+decode per
+        # image — enable on verification queries, not bulk pipelines)
+        self.check_roundtrip = check_roundtrip
 
     def decode(self, data: bytes, width: int, height: int) -> np.ndarray:
         kind = sniff_media(data)
@@ -106,18 +111,24 @@ class DecodeImage:
         widths = batch.column("width").to_pylist()
         heights = batch.column("height").to_pylist()
         feats = []
+        rt_ok: list[bool] = []
         ow, oh = self.out_size
         for data, w, h in zip(payloads, widths, heights):
             px = self.decode(data or b"", w or 1, h or 1)
             gray = px.mean(axis=2)
             feats.append(
                 _block_mean_resize(gray, oh, ow).flatten().tolist())
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "feature": pa.array(feats, pa.list_(pa.float32())),
-            }
-        )
+            if self.check_roundtrip:
+                px8 = px.astype(np.uint8)
+                rt_ok.append(bool(np.array_equal(
+                    decode_png(encode_png(px8)), px8)))
+        cols = {
+            "media_id": batch.column("media_id"),
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+        }
+        if self.check_roundtrip:
+            cols["roundtrip_ok"] = pa.array(rt_ok, pa.bool_())
+        return pa.table(cols)
 
 
 class AudioFeatures:
@@ -203,10 +214,11 @@ class SampleFrames:
 
 def decode_images(ds, concurrency: int = 2, batch_size: int = 64,
                   out_size: tuple[int, int] = (8, 8),
-                  strict: bool = False):
+                  strict: bool = False, check_roundtrip: bool = False):
     return ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"out_size": out_size, "strict": strict},
+        fn_constructor_kwargs={"out_size": out_size, "strict": strict,
+                               "check_roundtrip": check_roundtrip},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
