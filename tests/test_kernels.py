@@ -146,6 +146,38 @@ def test_clean_text_repairs():
     assert clean_text("İstanbul") == "istanbul"
 
 
+def test_clean_text_reference_deviations():
+    """PARITY.md deviations #10/#11 (VERDICT r3 #4): pin the two
+    deliberate divergences from the reference's ABBR table
+    (normalize_and_parse.py:26-28) with the reference's LITERAL rules
+    reproduced inline, so the deviation is visible in the diff of
+    expected values, not just prose."""
+    import re
+
+    def ref_abbr(s: str) -> str:
+        # the two reference rules the repo deviates from, verbatim
+        s = re.sub(r"\bd[.:]\b", "daire ", s)
+        s = re.sub(r"\bk:?", "kat ", s)
+        return re.sub(r"\s+", " ", s).strip()
+
+    # 1) the reference's \bk:? rule mangles every k-initial word —
+    #    including its own 'kat' keyword — which is why we omit it
+    assert ref_abbr("kartal k 3") == "kat artal kat 3"
+    assert ref_abbr("kat 2") == "kat at 2"
+    assert clean_text("kartal k 3") == "kartal k 3"
+    # cost of omitting it: a bare floor marker stays unexpanded
+    assert clean_text("k:2") == "k 2"
+
+    # 2) d[.:] — the punctuation pass both pipelines run FIRST already
+    #    rewrites the attached/detached forms identically; the only
+    #    reachable difference is a trailing "d." (EOS), where the
+    #    repo's \B expands and the reference's \b does not
+    for same in ("d.5 apt", "d. 5 apt", "d:3", "d: 3"):
+        assert clean_text(same).startswith("daire ")
+    assert clean_text("d.") == "daire"          # repo: \B fires at EOS
+    assert ref_abbr("d.") == "d."               # reference: \b cannot
+
+
 def test_blocking_dsl():
     assert alnum_lower("Ak-as YA12!") == "akasya12"
     assert first_digits("no 12 d 3") == "12"
