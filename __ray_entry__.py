@@ -985,11 +985,37 @@ def q_linkage_clusters_sql(sf_dir: str):
     return cc.map_batches(toint, batch_format="pyarrow")
 
 
+LINKAGE_FIXTURE_SQL_CFG = MatchConfig(
+    threshold=85.0, topk=3, scorer="levenshtein",
+    block_by="digits+prefix6", w_text=0.8, w_digits=0.15, w_geo=0.05,
+    left_id="url", right_id="url",
+)
+
+
 def q_linkage_edges(sf_dir: str):
-    fd = _pages_fixture(sf_dir)
+    """END-TO-END flagship linkage with a FULL DuckDB oracle (VERDICT
+    r3 #7): the complete run_linkage chain — html extract -> normalize
+    -> parse -> quality gate -> side tagging -> digits+prefix6 blocking
+    -> score -> combine(w_text=.8, w_digits=.15; geo absent, weights
+    renormalize /0.95) -> threshold 85 -> per-left top-3 with the
+    pinned (score desc, right_id asc) tiebreak — over the raw pages
+    fixture BLOB, hash-checked against a single SQL string that
+    re-derives every step from the html bytes.
+
+    The one knob changed from the flagship FIXTURE_MATCH_CFG is the
+    scorer: levenshtein_ratio (bit-equal to DuckDB's levenshtein per
+    tests/test_kernels.py) instead of token_set_ratio, whose Indel-LCS
+    core has no DuckDB kernel. token_set_ratio stays the scorer of
+    entry()/bench and is itself verified by brute-force DP
+    cross-checks plus the reference-loop edge-set parity test.
+
+    Fixture pinned to the sf0.01 gate scale (like q_pages_parse_sql)
+    so the static SQL string and this query read identical input; the
+    sf-scaled flagship remains entry() / bench linkage_e2e."""
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
     pages = rd.read_parquet(f"{fd}/pages.parquet",
                             columns=["url", "html"])
-    out = run_linkage(pages, match_cfg=FIXTURE_MATCH_CFG,
+    out = run_linkage(pages, match_cfg=LINKAGE_FIXTURE_SQL_CFG,
                       with_clusters=False, with_unmatched=False,
                       salt_hot_blocks=False)
     return out["edges"]
@@ -1772,6 +1798,73 @@ def _parse_oracle_ctes() -> str:
     )"""
 
 
+def _linkage_edges_fixture_oracle_sql() -> str:
+    """End-to-end flagship oracle (VERDICT r3 #7): one SQL string that
+    re-derives the ENTIRE q_linkage_edges pipeline from the raw html
+    BLOB — extract (the proven-exact 3-replace unescape of the
+    <article> capture), DEFAULT_NORMALIZE_CFG addr_norm
+    (:func:`_norm_sql_expr`), the quality gate
+    (raylink/quality.py:18-77: is_suspicious drop + validity filter),
+    digits+prefix6 blocking (raylink/blocking.py:63-66), the
+    levenshtein_ratio text score (bit-equal to DuckDB's levenshtein),
+    the always-present digits component (scoring.py:25-31: 100 iff the
+    digit-run sets of both sides are non-empty and intersect), the
+    combine renormalization over the two present components
+    (scoring.py:68-89: geo absent -> /0.95, round(2) — same
+    multiplication order as Python's ``p * (w/total)`` so the doubles
+    agree bit-for-bit before the round), the >=85 threshold on the
+    ROUNDED score (score_bucket thresholds conf AFTER combine_scores'
+    round), and per-left top-3 ranked by (rounded score desc, right_id
+    asc) — the engine's pinned tiebreak (match.py:287)."""
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    extract = ("replace(replace(replace(regexp_extract(decode(html), "
+               "'(?s)<article>(.*?)</article>', 1), "
+               "'&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+    norm = _norm_sql_expr("text")
+    lev = ("(1 - levenshtein(l.addr_norm, r.addr_norm) / "
+           "greatest(length(l.addr_norm), length(r.addr_norm))) * 100")
+    digits = ("CASE WHEN len(l.nums) > 0 AND len(r.nums) > 0 "
+              "AND len(list_intersect(l.nums, r.nums)) > 0 "
+              "THEN 100.0 ELSE 0.0 END")
+    return f"""
+    WITH src AS (
+      SELECT url, {extract} AS text
+      FROM read_parquet('{fd}/pages.parquet')
+    ), n AS (
+      SELECT url, {norm} AS addr_norm FROM src
+    ), q AS (
+      SELECT url, addr_norm FROM n
+      WHERE addr_norm IS NOT NULL
+        AND length(trim(addr_norm)) > 0
+        AND NOT regexp_full_match(trim(addr_norm), '[\\s\\W_]+')
+        AND length(addr_norm) > 5
+        AND NOT (length(addr_norm) < 10
+                 OR len(regexp_extract_all(addr_norm, '\\S+')) < 2
+                 OR length(addr_norm) > 180
+                 OR len(regexp_extract_all(addr_norm, '\\d')) = 0)
+    ), k AS (
+      SELECT url, addr_norm,
+        regexp_extract(addr_norm, '[0-9]+') || '|' ||
+          substr(regexp_replace(addr_norm, '[^a-z0-9ğüşöçı]', '', 'g'),
+                 1, 6) AS bk,
+        regexp_extract_all(addr_norm, '[0-9]+') AS nums
+      FROM q
+    ), scored AS (
+      SELECT l.url lid, r.url rid, l.bk bk,
+        round({lev} * (0.8 / 0.95) + ({digits}) * (0.15 / 0.95), 2) AS s
+      FROM k l JOIN k r USING (bk)
+      WHERE l.url LIKE 'https://siteL%' AND r.url LIKE 'https://siteR%'
+    ), ranked AS (
+      SELECT lid, rid, bk, s,
+        row_number() OVER (PARTITION BY lid
+                           ORDER BY s DESC, rid ASC) rk
+      FROM scored WHERE s >= 85
+    )
+    SELECT lid AS left_id, rid AS right_id, s AS score, bk AS block_key
+    FROM ranked WHERE rk <= 3
+    """
+
+
 def _pages_parse_oracle_sql() -> str:
     """Parse-stage oracle: the 8 flat columns (see _parse_oracle_ctes)."""
     return (_parse_oracle_ctes()
@@ -2144,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_parse_sql": _pages_parse_oracle_sql(),
         "pages_extract_sql": _pages_extract_oracle_sql(),
+        "linkage_edges": _linkage_edges_fixture_oracle_sql(),
         "parts_signature": _parts_signature_oracle_sql(),
         "weak_label_pages": _weak_label_oracle_sql(),
         "linkage_edges_sql": r"""
