@@ -10,11 +10,13 @@ Headline = end-to-end linkage pipeline (extract -> normalize -> quality
 deterministic pages fixture sized for $GRAFT_SF_DIR; plus a set of
 secondary pipelines over the testdata tables.
 
---scaling: runs the same bench in fresh subprocesses at two CPU counts
-(env RAYLINK_SCALING_CPUS, default "8,32"; best of two runs per size)
-and reports throughput at both, the scaling efficiency
-thr_hi / (ratio * thr_lo), and a no-Ray multiprocessing control that
-measures the VM's own CPU-scaling ceiling for allocation-heavy Python.
+--scaling: runs the same bench in fresh subprocesses at multiple CPU
+pairs (env RAYLINK_SCALING_CPUS, default "4,16;8,32" — the
+in-bandwidth pair AND the saturated pair, reported side by side; best
+of two runs per size, runs cached across pairs) and reports throughput
+at every size, per-pair scaling efficiency thr_hi / (ratio * thr_lo),
+and a no-Ray multiprocessing control that measures the VM's own
+CPU-scaling ceiling for allocation-heavy Python.
 """
 
 from __future__ import annotations
@@ -87,7 +89,19 @@ def run_bench() -> dict:
         ("doc_quality_score", entrymod.q_doc_quality_score),
         ("events_tumbling_window", entrymod.q_events_tumbling_window),
     ]
-    rd.range(1000).count()  # absorb one-time session/executor warmup
+    # absorb one-time session/executor warm-up with a REAL pipeline
+    # shape: rd.range alone leaves parquet-reader-task and shuffle
+    # operator startup to the first TIMED secondary (VERDICT r3 #6:
+    # pricing_summary read 1.85 s in r2 but 5.05 s in r3 purely from
+    # running first). One tiny read->groupby->agg over lineitem pays
+    # that cost outside the timers; it touches only a column the page
+    # cache already holds, so it does not change what is measured.
+    rd.range(1000).count()
+    warm_path = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.exists(warm_path):
+        rd.read_parquet(
+            warm_path, columns=["l_returnflag", "l_quantity"]
+        ).groupby("l_returnflag").sum("l_quantity").count()
     for name, fn in secondary:
         t0 = time.perf_counter()
         res = fn(sf_dir)
@@ -161,9 +175,9 @@ def _hardware_cpu_ceiling(n_lo: int, n_hi: int) -> float:
 
 
 def run_scaling() -> dict:
-    """Fresh processes at two CPU counts (env RAYLINK_SCALING_CPUS,
-    default "4,16") over the same input — the sandbox proxy for the
-    N vs 4N cluster-size criterion. Default pair rationale (round 3,
+    """Fresh processes at multiple CPU pairs (env RAYLINK_SCALING_CPUS,
+    default "4,16;8,32") over the same input — the sandbox proxy for
+    the N vs 4N cluster-size criterion. Pair rationale (round 3,
     full matrix in BENCH/BASELINE.md): the N->4N criterion presumes the
     high end has 4x of EVERY resource; on this single 32-vCPU box that
     only holds while the high-end run fits inside the box's memory
@@ -179,11 +193,17 @@ def run_scaling() -> dict:
     control measures the VM's own CPU-scaling ceiling for
     allocation-heavy Python so the Ray number can be read against what
     the hardware permits; efficiency_vs_hardware is unclamped."""
-    pair = os.environ.get("RAYLINK_SCALING_CPUS", "4,16")
-    n_lo, n_hi = (int(x) for x in pair.split(","))
+    # ADVICE r3 #5: the headline reports BOTH the in-bandwidth pair
+    # (4,16) and the saturated pair (8,32) side by side, so the
+    # favorable number never hides the saturated one. ";"-separated
+    # pairs; bench runs are cached per cpu count across pairs.
+    spec = os.environ.get("RAYLINK_SCALING_CPUS", "4,16;8,32")
+    pairs = [tuple(int(x) for x in p.split(","))
+             for p in spec.split(";") if p.strip()]
+    sizes = sorted({n for p in pairs for n in p})
     results: dict[int, dict] = {}
     all_runs: dict[int, list[float]] = {}
-    for ncpu in (n_lo, n_hi):
+    for ncpu in sizes:
         best = None
         all_runs[ncpu] = []
         for _ in range(2):
@@ -197,35 +217,44 @@ def run_scaling() -> dict:
             if best is None or r["pages_per_sec"] > best["pages_per_sec"]:
                 best = r
         results[ncpu] = best
-    ratio = n_hi / n_lo
-    thr_lo = results[n_lo]["pages_per_sec"]
-    thr_hi = results[n_hi]["pages_per_sec"]
-    eff = thr_hi / (ratio * thr_lo)
+
     # ADVICE r2 #5: publish every raw run next to the best-of headline
     # (so the dispersion is visible) and a mean-based efficiency that a
     # reader can compare across rounds; efficiency_vs_hardware is
     # UNCLAMPED — readings > 1.0 expose noise in the no-Ray control
     # rather than being silently truncated.
-    mean_lo = sum(all_runs[n_lo]) / len(all_runs[n_lo])
-    mean_hi = sum(all_runs[n_hi]) / len(all_runs[n_hi])
-    eff_mean = mean_hi / (ratio * mean_lo)
-    hw_eff = _hardware_cpu_ceiling(n_lo, n_hi)
+    def pair_report(n_lo: int, n_hi: int) -> dict:
+        ratio = n_hi / n_lo
+        thr_lo = results[n_lo]["pages_per_sec"]
+        thr_hi = results[n_hi]["pages_per_sec"]
+        mean_lo = sum(all_runs[n_lo]) / len(all_runs[n_lo])
+        mean_hi = sum(all_runs[n_hi]) / len(all_runs[n_hi])
+        hw_eff = _hardware_cpu_ceiling(n_lo, n_hi)
+        eff = thr_hi / (ratio * thr_lo)
+        return {
+            "cpus": [n_lo, n_hi],
+            f"sec_{n_lo}cpu": results[n_lo]["value"],
+            f"sec_{n_hi}cpu": results[n_hi]["value"],
+            f"pages_per_sec_{n_lo}cpu": thr_lo,
+            f"pages_per_sec_{n_hi}cpu": thr_hi,
+            "efficiency": round(eff, 3),
+            "efficiency_mean": round(mean_hi / (ratio * mean_lo), 3),
+            "hardware_cpu_ceiling": round(hw_eff, 3),
+            "efficiency_vs_hardware": round(eff / hw_eff, 3)
+            if hw_eff else None,
+        }
+
+    reports = [pair_report(lo, hi) for lo, hi in pairs]
+    top = reports[0]
+    n_hi0 = pairs[0][1]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": top["efficiency"],
         "unit": "ratio",
-        "cpus": [n_lo, n_hi],
-        f"sec_{n_lo}cpu": results[n_lo]["value"],
-        f"sec_{n_hi}cpu": results[n_hi]["value"],
-        f"pages_per_sec_{n_lo}cpu": thr_lo,
-        f"pages_per_sec_{n_hi}cpu": thr_hi,
-        "runs_pages_per_sec": {str(n): all_runs[n] for n in (n_lo, n_hi)},
-        "efficiency_mean": round(eff_mean, 3),
-        "hardware_cpu_ceiling": round(hw_eff, 3),
-        "efficiency_vs_hardware": round(eff / hw_eff, 3)
-        if hw_eff else None,
-        "pages": results[n_hi]["pages"],
-        "sf": results[n_hi]["sf"],
+        "pairs": reports,
+        "runs_pages_per_sec": {str(n): all_runs[n] for n in sizes},
+        "pages": results[n_hi0]["pages"],
+        "sf": results[n_hi0]["sf"],
     }
 
 
