@@ -1031,6 +1031,22 @@ def q_linkage_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def q_linkage_clusters_e2e(sf_dir: str):
+    """Flagship + transitive clustering, hash-checked end to end: the
+    same pipeline as q_linkage_edges continued through
+    connected_components_blocked (one groupby — edges never span block
+    keys), oracled by the edge CTE chain + a recursive
+    min-label-propagation closure re-deriving clusters from the raw
+    html BLOB."""
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    pages = rd.read_parquet(f"{fd}/pages.parquet",
+                            columns=["url", "html"])
+    out = run_linkage(pages, match_cfg=LINKAGE_FIXTURE_SQL_CFG,
+                      with_clusters=True, with_unmatched=False,
+                      salt_hot_blocks=False)
+    return out["clusters"].select_columns(["id", "cluster_id"])
+
+
 def _learned_eval(sf_dir: str, kind: str):
     """Shared T1-T3 harness, now SELF-CHECKING (VERDICT r3 #2, pattern
     of q_knn_ivf): train on even doc_ids, predict odd ones, and carry
@@ -1366,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q_events_asof_join,
         "pages_parse_sql": q_pages_parse_sql,
         "linkage_edges": q_linkage_edges,
+        "linkage_clusters_e2e": q_linkage_clusters_e2e,
         # linkage_clusters (rows-only) yields its slot to the
         # SQL-oracled pages_extract_sql: the cluster semantics stay
         # hash-checked by linkage_clusters_sql AND cc_chain_clusters,
@@ -1826,8 +1843,7 @@ def _linkage_edges_fixture_oracle_sql() -> str:
     digits = ("CASE WHEN len(l.nums) > 0 AND len(r.nums) > 0 "
               "AND len(list_intersect(l.nums, r.nums)) > 0 "
               "THEN 100.0 ELSE 0.0 END")
-    return f"""
-    WITH src AS (
+    return f"""src AS (
       SELECT url, {extract} AS text
       FROM read_parquet('{fd}/pages.parquet')
     ), n AS (
@@ -1859,10 +1875,39 @@ def _linkage_edges_fixture_oracle_sql() -> str:
         row_number() OVER (PARTITION BY lid
                            ORDER BY s DESC, rid ASC) rk
       FROM scored WHERE s >= 85
-    )
+    ), edges AS (
+      SELECT lid, rid, bk, s FROM ranked WHERE rk <= 3
+    )"""
+
+
+def _linkage_edges_fixture_oracle_sql_full() -> str:
+    return ("WITH " + _linkage_edges_fixture_oracle_sql() + """
     SELECT lid AS left_id, rid AS right_id, s AS score, bk AS block_key
-    FROM ranked WHERE rk <= 3
-    """
+    FROM edges
+    """)
+
+
+def _linkage_clusters_fixture_oracle_sql() -> str:
+    """Transitive closure of the end-to-end fixture edges via the same
+    recursive min-label-propagation CTE that oracles
+    ``linkage_clusters_sql`` — min STRING url per component, matching
+    connected_components_blocked's lexicographic-min canonical
+    (raylink/cluster.py:238-247)."""
+    return ("WITH RECURSIVE " + _linkage_edges_fixture_oracle_sql() + """
+    , sym AS (
+      SELECT lid a, rid b FROM edges
+      UNION
+      SELECT rid a, lid b FROM edges
+    ), nodes AS (
+      SELECT DISTINCT a FROM sym
+    ), rr(node, lab) AS (
+      SELECT a, a FROM nodes
+      UNION
+      SELECT s.b, rr.lab FROM rr JOIN sym s ON s.a = rr.node
+    )
+    SELECT node AS id, min(lab) AS cluster_id
+    FROM rr GROUP BY node
+    """)
 
 
 def _pages_parse_oracle_sql() -> str:
@@ -2237,7 +2282,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_parse_sql": _pages_parse_oracle_sql(),
         "pages_extract_sql": _pages_extract_oracle_sql(),
-        "linkage_edges": _linkage_edges_fixture_oracle_sql(),
+        "linkage_edges": _linkage_edges_fixture_oracle_sql_full(),
+        "linkage_clusters_e2e": _linkage_clusters_fixture_oracle_sql(),
         "parts_signature": _parts_signature_oracle_sql(),
         "weak_label_pages": _weak_label_oracle_sql(),
         "linkage_edges_sql": r"""
