@@ -192,6 +192,33 @@ def _make_bucket_scorer(cfg: MatchConfig):
     # pre-tokenized sets when that scorer is selected (identical result)
     use_token_sets = str(cfg.scorer).lower() == "token_set_ratio"
 
+    # Exact monotone prune: combine_scores rounds the weighted mean to
+    # 2 decimals, so round(conf, 2) >= thr requires the pre-round mean
+    # >= thr - 0.005 (any rounding mode); solving for the text
+    # component given the CHEAP components (digits/geo) yields the
+    # minimal text score t_min that could still pass. t_min > 100
+    # means NO text score can reach the threshold — the pair is
+    # skipped before any string scoring (at the flagship knobs,
+    # thr=85 / w_text=.8 / w_digits=.15, this retires every pair
+    # without a shared digit run: max conf = 80/0.95 = 84.21 < 85).
+    # Pairs that survive hand t_min to the token-set scorer as an
+    # exact score_cutoff (see token_set_ratio_from_sets). Scores of
+    # emitted edges are bit-identical — pruned pairs are exactly the
+    # ones the threshold would have dropped after scoring.
+    thr_eff = thr - 0.005 - 1e-9
+    tot_ng = w_text + w_digits          # geo-absent weight total
+    tot_g = w_text + w_digits + w_geo   # geo-present weight total
+
+    def _t_min(d_s: float, g_s) -> float:
+        if w_text <= 0:
+            return 0.0
+        if g_s is None:
+            return (thr_eff * tot_ng - w_digits * d_s) / w_text
+        return (thr_eff * tot_g - w_digits * d_s - w_geo * g_s) / w_text
+
+    t_min_d0 = _t_min(0.0, None)
+    t_min_d100 = _t_min(100.0, None)
+
     def score_bucket(bucket: pa.Table) -> pa.Table:
         if "block_key" not in bucket.column_names or bucket.num_rows == 0:
             return pa.table({"left_id": pa.array([], pa.string()),
@@ -255,19 +282,8 @@ def _make_bucket_scorer(cfg: MatchConfig):
                 for rid, rtxt, rtok, rnums, rtokens, rlat, rlon in r_pre:
                     if stops and not (ltok & rtok):
                         continue
-                    if ltxt == rtxt:
-                        # identical strings — skip the LCS entirely
-                        text_s = 100.0
-                    else:
-                        mk = (ltxt, rtxt)
-                        text_s = text_memo.get(mk)
-                        if text_s is None:
-                            if use_token_sets:
-                                text_s = token_set_ratio_from_sets(
-                                    ltokens, rtokens)
-                            else:
-                                text_s = float(scorer(ltxt, rtxt))
-                            text_memo[mk] = text_s
+                    # cheap components first, so the text prune can
+                    # see them
                     if lnums and rnums:
                         d_s = 100.0 if (lnums & rnums) else 0.0
                     else:
@@ -277,6 +293,32 @@ def _make_bucket_scorer(cfg: MatchConfig):
                         g_s = geo_score_km(
                             haversine_km(llat, llon, rlat, rlon),
                             max_km=max_km)
+                        t_min = _t_min(d_s, g_s)
+                    else:
+                        t_min = t_min_d100 if d_s else t_min_d0
+                    if t_min > 100.0:
+                        # even text_s = 100 cannot reach the threshold
+                        continue
+                    if ltxt == rtxt:
+                        # identical strings — skip the LCS entirely
+                        text_s = 100.0
+                    else:
+                        mk = (ltxt, rtxt)
+                        text_s = text_memo.get(mk)
+                        if text_s is None:
+                            if use_token_sets:
+                                text_s = token_set_ratio_from_sets(
+                                    ltokens, rtokens,
+                                    score_cutoff=t_min)
+                                if text_s is None:
+                                    # provably below t_min; NOT
+                                    # memoized (another row pair of the
+                                    # same texts may carry a laxer
+                                    # geo-dependent cutoff)
+                                    continue
+                            else:
+                                text_s = float(scorer(ltxt, rtxt))
+                            text_memo[mk] = text_s
                     conf = combine_scores(
                         text_s, d_s, g_s,
                         w_text=w_text, w_digits=w_digits, w_geo=w_geo)

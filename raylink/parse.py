@@ -104,6 +104,9 @@ _RE_TRAILING_NO = re.compile(r"\bno\b.*$")
 _RE_ALPHA_TOKEN = re.compile(r"[a-zçğıöşü\-]+")
 _RE_ALPHA_FULL = re.compile(r"[a-zçğıöşü]+")
 _RE_ILCE_IL = re.compile(r"[a-zçğıöşü]+/[a-zçğıöşü]+")
+_RE_NUMERIC_SOKAK = re.compile(r"\b(\d+)\s+sokak\b")
+_RE_MEVKII_BEFORE = re.compile(r"\b([a-zçğıöşü\-]+)\s+mevkii\b")
+_RE_MULTISPACE = re.compile(r"\s{2,}")
 
 PART_FIELDS = [
     "mahalle", "cadde", "sokak", "bulvar", "no", "daire", "kat",
@@ -141,13 +144,27 @@ def clean_text(s: str | None) -> str:
     return _normalize_spaces(s)
 
 
-def _extract_following_name(text: str, anchor: str) -> str:
-    pat = (
+def _following_name_pattern(anchor: str) -> "re.Pattern":
+    return re.compile(
         rf"{anchor}\s+([a-zğüşiöç0-9 \-]+?)\s+"
         r"(?=(mahalle|cadde|sokak|bulvar|no|daire|kat|mevkii|apartman"
         r"|hotel|otel|plaza|blok|işhanı|iş hanı|$))"
     )
-    m = re.search(pat, text)
+
+
+# the four fixed anchors parse_fields uses, precompiled once — the
+# f-string pattern was rebuilt (and re-cache-probed) per row per anchor
+_FOLLOWING_NAME_RES = {
+    a: _following_name_pattern(a)
+    for a in ("mahalle", "cadde", "sokak", "bulvar")
+}
+
+
+def _extract_following_name(text: str, anchor: str) -> str:
+    pat = _FOLLOWING_NAME_RES.get(anchor)
+    if pat is None:
+        pat = _following_name_pattern(anchor)
+    m = pat.search(text)
     return _normalize_spaces(m.group(1)) if m else ""
 
 
@@ -274,7 +291,7 @@ def postprocess_parts(normalized: str, parts: dict[str, str]) -> dict[str, str]:
 
     # sokak starting with "no" (postprocess.py:62-67)
     if parts.get("sokak", "").startswith("no"):
-        m = re.search(r"\b(\d+)\s+sokak\b", normalized)
+        m = _RE_NUMERIC_SOKAK.search(normalized)
         if m:
             parts["sokak"] = m.group(1)
         else:
@@ -323,7 +340,7 @@ def postprocess_parts(normalized: str, parts: dict[str, str]) -> dict[str, str]:
                 parts["bina_adi"] = cand
             break
 
-    m = re.search(r"\b([a-zçğıöşü\-]+)\s+mevkii\b", normalized)
+    m = _RE_MEVKII_BEFORE.search(normalized)
     if m:
         parts["mevkii"] = m.group(1)
 
@@ -353,7 +370,7 @@ def postprocess_parts(normalized: str, parts: dict[str, str]) -> dict[str, str]:
     for key in ("mahalle", "cadde", "sokak"):
         if parts.get(key):
             parts[key] = _RE_TRAILING_NO.sub("", parts[key]).strip()
-            parts[key] = re.sub(r"\s{2,}", " ", parts[key])
+            parts[key] = _RE_MULTISPACE.sub(" ", parts[key])
 
     # confidence weights .22/.06 (postprocess.py:124-132)
     score = 0.22 * sum(bool(parts.get(k)) for k in

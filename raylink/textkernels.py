@@ -141,35 +141,29 @@ def token_set_ratio(a: str, b: str) -> float:
     This is the reference's default scorer (configs/match.yaml:5,
     addresskit/match.py:110-115).
     """
-    ta, tb = set(_split_tokens(a)), set(_split_tokens(b))
-    if not ta and not tb:
-        return 100.0
-    inter = sorted(ta & tb)
-    diff_ab = sorted(ta - tb)
-    diff_ba = sorted(tb - ta)
-    if inter and (not diff_ab or not diff_ba):
-        return 100.0
-    sect = " ".join(inter)
-    joined_ab = (sect + " " + " ".join(diff_ab)).strip()
-    joined_ba = (sect + " " + " ".join(diff_ba)).strip()
-    # sect is a prefix of joined_ab/joined_ba -> those two ratios have a
-    # closed form: indel distance = len(joined) - len(sect)
-    ls, lab, lba = len(sect), len(joined_ab), len(joined_ba)
-    best = 0.0
-    if ls:
-        best = max(
-            1.0 - (lab - ls) / (ls + lab),
-            1.0 - (lba - ls) / (ls + lba),
-        )
-    best = max(best, indel_ratio(joined_ab, joined_ba))
-    return 100.0 * best
+    return token_set_ratio_from_sets(set(_split_tokens(a)),
+                                     set(_split_tokens(b)))
 
 
-def token_set_ratio_from_sets(ta: set, tb: set) -> float:
+def token_set_ratio_from_sets(ta: set, tb: set,
+                              score_cutoff: float | None = None):
     """``token_set_ratio`` over PRE-TOKENIZED unique-token sets — the
     hot-path variant for pairwise scoring where each row is compared
     against many others (avoids re-splitting/re-hashing per pair).
-    Identical result to token_set_ratio(" ".join(...), ...)."""
+    Identical result to joining the sorted sets and comparing.
+
+    Two exact accelerations over the naive three-join formulation:
+
+    - COMMON-PREFIX TRIM: the two cross joins share the sorted
+      intersection as a literal prefix, and ``LCS(P+x, P+y) =
+      len(P) + LCS(x, y)``, so the bit-parallel LCS runs over only the
+      difference tokens instead of the full joined strings.
+    - ``score_cutoff``: when set, returns ``None`` if the UPPER BOUND
+      ``LCS <= prefix + min(len(da), len(db))`` already caps the score
+      below the cutoff — the LCS is skipped entirely. ``None`` is
+      returned ONLY when the exact score is provably < score_cutoff;
+      otherwise the exact score is returned (never approximated).
+    """
     if not ta and not tb:
         return 100.0
     inter = ta & tb
@@ -178,16 +172,29 @@ def token_set_ratio_from_sets(ta: set, tb: set) -> float:
     if inter and (not diff_ab or not diff_ba):
         return 100.0
     sect = " ".join(sorted(inter))
-    joined_ab = (sect + " " + " ".join(sorted(diff_ab))).strip()
-    joined_ba = (sect + " " + " ".join(sorted(diff_ba))).strip()
-    ls, lab, lba = len(sect), len(joined_ab), len(joined_ba)
+    da = " ".join(sorted(diff_ab))
+    db = " ".join(sorted(diff_ba))
+    ls = len(sect)
+    # at this point either inter is empty (ls == 0) or BOTH diffs are
+    # non-empty (the subset case returned 100 above), so the joined
+    # strings are sect[ + " " + diff] with no dangling separator
+    pref = ls + 1 if ls else 0
+    lab = pref + len(da)
+    lba = pref + len(db)
     best = 0.0
     if ls:
+        # sect vs each join has a closed form: indel dist = len - ls
         best = max(
             1.0 - (lab - ls) / (ls + lab),
             1.0 - (lba - ls) / (ls + lba),
         )
-    best = max(best, indel_ratio(joined_ab, joined_ba))
+    if score_cutoff is not None:
+        ub = 100.0 * max(
+            best, 2.0 * (pref + min(len(da), len(db))) / (lab + lba))
+        if ub < score_cutoff:
+            return None
+    lcs = pref + lcs_length(da, db)
+    best = max(best, 2.0 * lcs / (lab + lba))
     return 100.0 * best
 
 

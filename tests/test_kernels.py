@@ -80,6 +80,57 @@ def test_ratio_identities():
     assert tk.partial_ratio("abc", "xxabcxx") == 100.0
 
 
+def _token_set_ratio_naive(ta: set, tb: set) -> float:
+    """Three-join token_set_ratio with NO trim/cutoff — the definition
+    the accelerated kernel must reproduce bit-for-bit."""
+    if not ta and not tb:
+        return 100.0
+    inter, dab, dba = ta & tb, ta - tb, tb - ta
+    if inter and (not dab or not dba):
+        return 100.0
+    sect = " ".join(sorted(inter))
+    jab = (sect + " " + " ".join(sorted(dab))).strip()
+    jba = (sect + " " + " ".join(sorted(dba))).strip()
+    ls, lab, lba = len(sect), len(jab), len(jba)
+    best = 0.0
+    if ls:
+        best = max(1.0 - (lab - ls) / (ls + lab),
+                   1.0 - (lba - ls) / (ls + lba))
+    best = max(best, tk.indel_ratio(jab, jba))
+    return 100.0 * best
+
+
+def test_token_set_ratio_trim_and_cutoff():
+    """The prefix-trimmed kernel is bit-equal to the naive three-join
+    formulation, and score_cutoff returns None ONLY when the exact
+    score is provably below the cutoff (never a wrong value)."""
+    rng = random.Random(31)
+    words = ["mahallesi", "caddesi", "sokak", "no", "daire", "kat",
+             "akasya", "güven", "bodrum", "muğla", "12", "3", "45a",
+             "apt", "sitesi", "b", "yolu", "çınar"]
+    cases = [(set(), set()), ({"a"}, set()), ({"a"}, {"a"}),
+             ({"a", "b"}, {"b", "c"})]
+    for _ in range(3000):
+        ta = set(rng.sample(words, rng.randint(0, 8)))
+        tb = set(ta)
+        for w in list(tb):
+            if rng.random() < 0.35:
+                tb.discard(w)
+        tb.update(rng.sample(words, rng.randint(0, 3)))
+        cases.append((ta, tb))
+    for ta, tb in cases:
+        exact = _token_set_ratio_naive(ta, tb)
+        assert tk.token_set_ratio_from_sets(ta, tb) == exact
+        assert tk.token_set_ratio(" ".join(sorted(ta)),
+                                  " ".join(sorted(tb))) == exact
+        for cut in (30.0, 70.0, 90.0):
+            got = tk.token_set_ratio_from_sets(ta, tb, score_cutoff=cut)
+            if got is None:
+                assert exact < cut
+            else:
+                assert got == exact
+
+
 def test_tr_safe_lower():
     # reference addresskit/normalize.py:40-46 behavior
     assert tk.tr_safe_lower("İSTANBUL") == "istanbul"

@@ -55,3 +55,68 @@ def test_fuzzy_mode_keep_best_config():
     # both lefts match r1, but only the best survives
     assert len(edges) == 1
     assert edges["left_id"].iloc[0] == "l1"
+
+
+def test_threshold_prune_invariance():
+    """The monotone text-score prune inside score_bucket must emit
+    EXACTLY the edges that scoring every pair and thresholding after
+    would: run the scorer at thr~0 (where t_min <= 0 disables every
+    prune) with an unbounded top-k, re-apply threshold + per-left top-k
+    in the test, and compare against the pruned thr=85 run — with and
+    without geo, for both the token-set and levenshtein scorers."""
+    import random
+
+    from raylink.match import _make_bucket_scorer
+
+    rng = random.Random(5)
+    words = ["mah", "cad", "sok", "no", "akasya", "guven", "bodrum",
+             "mugla", "12", "3", "45", "apt", "b"]
+    n = 400
+    ids, texts, lats, lons, keys, sides, salts = [], [], [], [], [], [], []
+    for i in range(n):
+        bk = f"bk{rng.randrange(30)}"
+        toks = rng.sample(words, rng.randint(2, 6))
+        ids.append(f"id{i}")
+        texts.append(" ".join(toks))
+        with_geo = rng.random() < 0.5
+        lats.append(39.0 + rng.random() * 0.02 if with_geo else None)
+        lons.append(32.0 + rng.random() * 0.02 if with_geo else None)
+        keys.append(bk)
+        sides.append(rng.randint(0, 1))
+        salts.append(0)
+    bucket = pa.table({
+        "_id": pa.array(ids, pa.string()),
+        "_text": pa.array(texts, pa.string()),
+        "_lat": pa.array(lats, pa.float64()),
+        "_lon": pa.array(lons, pa.float64()),
+        "block_key": pa.array(keys, pa.string()),
+        "_side": pa.array(sides, pa.int8()),
+        "_salt": pa.array(salts, pa.int32()),
+    })
+
+    for scorer in ("token_set_ratio", "levenshtein"):
+        for thr in (70.0, 85.0):
+            kw = dict(scorer=scorer, w_text=0.8, w_digits=0.15,
+                      w_geo=0.05, left_id="id", right_id="id")
+            pruned = _make_bucket_scorer(
+                MatchConfig(threshold=thr, topk=3, **kw))(bucket)
+            full = _make_bucket_scorer(
+                MatchConfig(threshold=0.01, topk=10**6, **kw))(bucket)
+            # reference semantics from the unpruned run: threshold
+            # first, then per-left top-3 by (score desc, right_id asc)
+            byleft: dict[str, list] = {}
+            for l, r, s, k in zip(full["left_id"].to_pylist(),
+                                  full["right_id"].to_pylist(),
+                                  full["score"].to_pylist(),
+                                  full["block_key"].to_pylist()):
+                if s >= thr:
+                    byleft.setdefault(l, []).append((-s, r, k))
+            want = set()
+            for l, cands in byleft.items():
+                for negs, r, k in sorted(cands)[:3]:
+                    want.add((l, r, -negs, k))
+            got = set(zip(pruned["left_id"].to_pylist(),
+                          pruned["right_id"].to_pylist(),
+                          pruned["score"].to_pylist(),
+                          pruned["block_key"].to_pylist()))
+            assert got == want, (scorer, thr, got ^ want)
