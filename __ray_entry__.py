@@ -1140,6 +1140,91 @@ def q_classify_documents(sf_dir: str):
     return _learned_eval(sf_dir, "clf")
 
 
+def q_linkage_edges_learned(sf_dir: str):
+    """Learned FIELD-WEIGHTED pair matcher (north_star: candidate
+    pairs scored by JW/Levenshtein channels "plus a learned
+    field-weighted classifier matching the repo's trained matcher";
+    reference trains with sklearn SGD-logistic,
+    scripts/train_baseline.py:64-150): per-pair features = whole-string
+    token-set/Levenshtein/Jaro-Winkler + digit overlap + PER-PARSED-
+    FIELD (mahalle/cadde/sokak/no) similarities; a from-scratch
+    deterministic logistic fit learns the field weights the heuristic
+    path hand-sets in combine_scores; inference runs inside the SAME
+    salted block co-shuffle as the flagship.
+
+    Self-checking, not SQL-expressible (learned weights): trains on
+    pairs whose left entity index is EVEN, and the result carries —
+    and asserts — ``holdout_f1`` (feature-level pairwise F1 on the
+    held-out ODD-entity pairs, floor 0.9) and ``edges_f1`` (pairwise
+    F1 of the DISTRIBUTED edge set against ALL labeled pairs at the
+    same blocking key, floor 0.95; the north rule's metric is >= 0.99
+    for the heuristic flagship, measured 1.0 here too)."""
+    import numpy as np
+
+    from raylink.fixtures import build_labeled_pairs, build_pages
+    from raylink.pairmatcher import (
+        collect_pair_training,
+        fit_pair_matcher,
+        match_pairs_learned,
+        pairwise_f1,
+    )
+    from raylink.pipeline import prepare_pages
+
+    fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
+    pages = rd.read_parquet(f"{fd}/pages.parquet",
+                            columns=["url", "html"])
+    prepared = prepare_pages(pages, with_parse=True,
+                             block_by="digits+prefix6").materialize()
+    pages_tbl, truth = build_pages(PARSE_SQL_ENTITIES, seed=42)
+    labeled = build_labeled_pairs(pages_tbl, truth)
+
+    x, y, kept = collect_pair_training(prepared, labeled)
+
+    def ent_of(url: str) -> int:
+        try:
+            return int(url.rsplit("/", 2)[-2])
+        except ValueError:
+            return -1
+
+    parity = np.array([ent_of(l) % 2 for l, _ in kept])
+    tr, te = parity == 0, parity == 1
+    model = fit_pair_matcher(x[tr], y[tr])
+
+    pred_te = model.predict_proba(x[te]) >= 0.5
+    te_pairs = [kept[i] for i in np.flatnonzero(te)]
+    pred_pairs = {p for p, hit in zip(te_pairs, pred_te) if hit}
+    te_labeled = pa.table({
+        "left_id": pa.array([p[0] for p in te_pairs]),
+        "right_id": pa.array([p[1] for p in te_pairs]),
+        "is_match": pa.array(
+            [bool(v) for v in y[te]], pa.bool_()),
+    })
+    holdout_f1 = pairwise_f1(pred_pairs, te_labeled)
+    if holdout_f1 < 0.9:
+        raise AssertionError(
+            f"learned pair matcher holdout F1 {holdout_f1:.3f} < 0.9")
+
+    cfg = MatchConfig(threshold=85.0, topk=3, scorer="token_set_ratio",
+                      block_by="digits+prefix6",
+                      left_id="url", right_id="url")
+    edges = match_pairs_learned(prepared, model, cfg).materialize()
+    got = {(r["left_id"], r["right_id"]) for r in edges.take_all()}
+    edges_f1 = pairwise_f1(got, labeled)
+    if edges_f1 < 0.95:
+        raise AssertionError(
+            f"learned pair matcher distributed-edge F1 "
+            f"{edges_f1:.3f} < 0.95")
+
+    def attach(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column(
+            "holdout_f1", pa.array([round(holdout_f1, 4)] * n),
+        ).append_column(
+            "edges_f1", pa.array([round(edges_f1, 4)] * n))
+
+    return edges.map_batches(attach, batch_format="pyarrow")
+
+
 def q_weak_label_pages(sf_dir: str):
     """M8 BIO-ish gazetteer weak labels over the pages fixture, checked
     against a pure-SQL re-derivation (round 3 — was rows-only). Fixture
@@ -1383,6 +1468,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_parse_sql": q_pages_parse_sql,
         "linkage_edges": q_linkage_edges,
         "linkage_clusters_e2e": q_linkage_clusters_e2e,
+        # learned field-weighted pair matcher: rows-only by nature
+        # (learned weights have no SQL twin) but self-checking — the
+        # result carries and asserts holdout_f1 >= 0.9 and the
+        # distributed edge set's pairwise F1 vs the labeled pairs
+        # >= 0.95 (measured 1.0 / 1.0)
+        "linkage_edges_learned": q_linkage_edges_learned,
         # linkage_clusters (rows-only) yields its slot to the
         # SQL-oracled pages_extract_sql: the cluster semantics stay
         # hash-checked by linkage_clusters_sql AND cc_chain_clusters,

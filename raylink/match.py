@@ -345,7 +345,9 @@ def _make_bucket_scorer(cfg: MatchConfig):
 def match_tagged(tagged, cfg: MatchConfig | None = None,
                  text_col: str | None = None, id_col: str | None = None,
                  side_col: str = "_side",
-                 hot_keys=None):
+                 hot_keys=None,
+                 extra_cols: list[str] | None = None,
+                 scorer_factory=None):
     """Single-pass variant of :func:`match_datasets` for a
     SOURCE-TAGGED dataset (``side_col``: 0 = left, 1 = right): ONE
     projection over the tagged stream replaces two filtered scans +
@@ -353,7 +355,14 @@ def match_tagged(tagged, cfg: MatchConfig | None = None,
     project -> shuffle -> score) streams with no mid-pipeline
     materialization barrier. Emits the same edges as
     match_datasets(left, right) over the same rows; requires both
-    sides to share the id column."""
+    sides to share the id column.
+
+    ``extra_cols``: additional input columns shipped (string-cast)
+    through the co-shuffle into the bucket scorer — e.g. parsed field
+    columns for the learned pair matcher. ``scorer_factory``:
+    cfg -> bucket function, defaulting to the heuristic
+    :func:`_make_bucket_scorer`; replication/salting/bucketing are
+    identical for any scorer."""
     import ray
 
     cfg = cfg or MatchConfig()
@@ -381,9 +390,11 @@ def match_tagged(tagged, cfg: MatchConfig | None = None,
         else:
             lats = pa.nulls(n, pa.float64())
             lons = pa.nulls(n, pa.float64())
-        base = pa.table(
-            {"_id": ids, "_text": texts, "_lat": lats, "_lon": lons,
-             "block_key": keys, "_side": sides})
+        base_cols = {"_id": ids, "_text": texts, "_lat": lats,
+                     "_lon": lons, "block_key": keys, "_side": sides}
+        for c in (extra_cols or ()):
+            base_cols[c] = batch.column(c).cast(pa.string())
+        base = pa.table(base_cols)
         import numpy as np
         import pyarrow.compute as pc
 
@@ -421,8 +432,9 @@ def match_tagged(tagged, cfg: MatchConfig | None = None,
     both = ds.map_batches(project, batch_format="pyarrow")
     if cfg.shuffle_partitions:
         both = both.repartition(cfg.shuffle_partitions)
+    make_scorer = scorer_factory or _make_bucket_scorer
     edges = both.groupby("_bucket").map_groups(
-        _make_bucket_scorer(cfg), batch_format="pyarrow")
+        make_scorer(cfg), batch_format="pyarrow")
     if cfg.keep_best_per_right:
         edges = keep_best_per_right(edges)
     return edges
