@@ -104,6 +104,29 @@ def test_distributed_edges_match_gold_and_driver_probs(trained):
         assert e["score"] == pytest.approx(round(want, 6), abs=1e-9)
 
 
+def test_learned_matcher_salting_invariance(trained):
+    """Salting every block must preserve the learned matcher's edge
+    set exactly (extra part columns replicate with the hot rows
+    through match_tagged's salted projection)."""
+    from raylink.blocking import make_block_key
+
+    prepared, _, _, _, _, _, model = trained
+    cfg = MatchConfig(threshold=85.0, topk=3, scorer="token_set_ratio",
+                      block_by="digits+prefix6",
+                      left_id="url", right_id="url")
+
+    def edge_set(hot):
+        e = match_pairs_learned(prepared, model, cfg,
+                                hot_keys=hot).to_pandas()
+        return set(zip(e["left_id"], e["right_id"], e["score"]))
+
+    all_keys = {
+        make_block_key({"t": t}, "t", cfg.block_by)
+        for t in prepared.to_pandas()["addr_norm"]
+    }
+    assert edge_set(None) == edge_set(all_keys)
+
+
 def test_learned_matcher_rejects_hard_twins(trained):
     """Every 5th fixture entity has a same-block 'hard twin' (same
     mahalle prefix + same no). The labeled negatives are exactly those
