@@ -1268,7 +1268,11 @@ def q_media_features(sf_dir: str):
     out = decode_images(imgs, concurrency=2, strict=True,
                         check_roundtrip=True).materialize()
     n = out.count()
-    ok = out.sum("roundtrip_ok")
+    if n == 0:
+        # Dataset.sum returns None on empty input — an empty fixture
+        # must fail as itself, not as a TypeError in the f-string
+        raise AssertionError("media fixture produced 0 image rows")
+    ok = out.sum("roundtrip_ok") or 0
     if ok != n:
         raise AssertionError(
             f"media decode round-trip failed for {n - ok}/{n} images")
@@ -1306,14 +1310,21 @@ def q_embedding_near_dup(sf_dir: str):
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit = mat / norms[:, None]
-    sims = unit @ unit.T
-    iu = np.triu_indices(len(ids), k=1)
-    hit = sims[iu] >= 0.3
-    # normalize BOTH sides as lexicographically-sorted string tuples —
-    # the pair output ids are strings, and mixing numeric min/max with
-    # string min/max silently halves the apparent recall
-    exact = {tuple(sorted((str(a), str(b))))
-             for a, b in zip(ids[iu[0]][hit], ids[iu[1]][hit])}
+    # BLOCKED exact pair scan (code-review r4): an unblocked n x n
+    # similarity matrix + full triu index arrays is ~10 GB of driver
+    # transients at the 20k ceiling; chunked rows-vs-matrix keeps the
+    # peak at chunk x n. Pairs normalized as lexicographically-sorted
+    # STRING tuples — the output ids are strings, and mixing numeric
+    # with string ordering silently halves the apparent recall.
+    exact = set()
+    n_all = len(ids)
+    chunk = 2048
+    for s0 in range(0, n_all, chunk):
+        block = unit[s0:s0 + chunk] @ unit.T
+        bi, bj = np.nonzero(block >= 0.3)
+        keep = (s0 + bi) < bj  # strict upper triangle only
+        for a, b in zip(ids[s0 + bi[keep]], ids[bj[keep]]):
+            exact.add(tuple(sorted((str(a), str(b)))))
     got = {tuple(sorted((x["left_id"], x["right_id"])))
            for x in pairs.take_all()}
     recall = len(got & exact) / max(1, len(exact))

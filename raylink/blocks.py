@@ -58,9 +58,14 @@ def dataset_schema(ds) -> pa.Schema:
 
     ``object`` dtype is ambiguous (str / bytes / list all report it);
     mapping it blindly to ``pa.string()`` poisons downstream casts far
-    from the cause (ADVICE r3). When any object column exists, ONE row
-    is sniffed (``limit(1).take``) to resolve each object column from
-    its actual Python value; an empty dataset falls back to string."""
+    from the cause (ADVICE r3). When any object column exists, a few
+    rows are sniffed (``limit(16).take``) and each object column is
+    resolved from its FIRST NON-NULL value — a null first row must not
+    silently pin pa.string() on a list-typed column (code-review r4).
+    All-null sample (or empty dataset) falls back to string. NOTE:
+    the sniff executes a small prefix of a lazy pandas-origin
+    pipeline — the unavoidable price of pinning an Arrow type the
+    pandas schema does not carry; Arrow-origin datasets never pay it."""
     import numpy as np
 
     s = ds.schema()
@@ -85,11 +90,11 @@ def dataset_schema(ds) -> pa.Schema:
         else:
             resolved.append((n, pa.from_numpy_dtype(dt)))
     if object_cols:
-        sample = ds.limit(1).take(1)
-        row = sample[0] if sample else {}
+        rows = ds.limit(16).take(16)
         sniffed = {}
         for n in object_cols:
-            v = row.get(n)
+            v = next((r.get(n) for r in rows if r.get(n) is not None),
+                     None)
             if isinstance(v, (bytes, bytearray)):
                 sniffed[n] = pa.binary()
             elif isinstance(v, (list, tuple, np.ndarray)):

@@ -205,9 +205,15 @@ class CheckpointManager:
 
         # clear stale artifacts of NOT-done partitions (older
         # fingerprints, interrupted tmp files) so a recomputed-empty
-        # partition can't leave a stale file behind for load()
+        # partition can't leave a stale file behind for load().
+        # ORDER MATTERS (code-review r4): sidecars are removed BEFORE
+        # their parquet files — the crash invariant is "sidecar
+        # present ⇒ its data file is present and complete", and
+        # deleting data first would leave a window where a crash
+        # strands a sidecar whose data is gone, which a later resume
+        # at the sidecar's fingerprint would trust (silent row loss).
         done_names = {f"part-{p:05d}" for p in done}
-        for d, suffix in ((data_dir, ".parquet"), (parts_dir, ".json")):
+        for d, suffix in ((parts_dir, ".json"), (data_dir, ".parquet")):
             for name in os.listdir(d):
                 stem = name.split(".")[0]
                 if not name.endswith(suffix) or stem not in done_names:
@@ -217,8 +223,15 @@ class CheckpointManager:
         done_list = sorted(done)
 
         def drop_done(t: pa.Table) -> pa.Table:
-            if id_col not in t.column_names or t.num_rows == 0:
+            if t.num_rows == 0:
                 return t
+            if id_col not in t.column_names:
+                # loud, like route(): silently passing rows through
+                # would recompute finished partitions AND double-count
+                # them in the manifest (code-review r4)
+                raise ValueError(
+                    f"run_partitioned({stage!r}): resume input lacks "
+                    f"the id column {id_col!r}")
             part = partition_of(
                 np.asarray(t.column(id_col)), num_partitions)
             return t.filter(

@@ -592,7 +592,12 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
                 "find_hot_blocks: sampled blocks look CLUSTERED by "
                 "block key (adjacency probe); falling back to the "
                 "exact full scan")
+            # genuinely FULL scan (cutoff unchanged) — assigning None
+            # here used to fall through into the row-sample branch
+            # below, which is probabilistic, not the exactness the
+            # warning promises (code-review r4)
             sampled = None
+            sample_fraction = 1.0
         if sampled is not None:
             # block-level sample: reads only ~fraction of the blocks
             # (a row sample still scans every block). ASSUMPTION: row
@@ -601,7 +606,7 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
             # blocks and its sampled count concentrates sharply.
             ds = sampled
             cutoff = cfg.salt_over * actual * 0.5
-        else:
+        elif sample_fraction < 1.0:
             ds = ds.random_sample(sample_fraction, seed=seed)
             cutoff = cfg.salt_over * sample_fraction * 0.5
     keyed = add_block_keys(ds, text_col, cfg.block_by,
