@@ -56,8 +56,15 @@ class CompiledNormalizer:
             if isinstance(k, str)
         ]
 
-        self.abbrev_rules: list[tuple[re.Pattern, str]] = [
-            (re.compile(rf"\b{re.escape(src)}\b", re.UNICODE), str(tgt))
+        # (needle, pattern, target): the pattern is the ESCAPED literal
+        # between word boundaries, so `needle in addr` is a necessary
+        # condition for a match — a C-level substring precheck that
+        # skips the regex scan on the ~75-100% of rows a given
+        # abbreviation is absent from (exact; measured parse/normalize
+        # chains are the dominant prepare cost)
+        self.abbrev_rules: list[tuple[str, re.Pattern, str]] = [
+            (src,
+             re.compile(rf"\b{re.escape(src)}\b", re.UNICODE), str(tgt))
             for src, tgt in (cfg.get("abbreviations") or {}).items()
             if isinstance(src, str)
         ]
@@ -76,8 +83,9 @@ class CompiledNormalizer:
             addr = pat.sub(repl, addr)
         for k, v in self.replaces:
             addr = addr.replace(k, v)
-        for pat, tgt in self.abbrev_rules:
-            addr = pat.sub(tgt, addr)
+        for src, pat, tgt in self.abbrev_rules:
+            if src in addr:
+                addr = pat.sub(tgt, addr)
         if self.stopwords:
             addr = " ".join(
                 t for t in addr.split() if t not in self.stopwords

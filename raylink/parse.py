@@ -57,25 +57,30 @@ CUT_WORDS = {"no", "daire", "kat", "mevkii", "il", "ilçe", "ilce"}
 _LABEL_WORDS = {"mahalle", "cadde", "sokak", "bulvar"}
 
 # --- abbreviation expansions (normalize_and_parse.py:11-32)
+# (needle, pattern, repl): the needle is a literal whose presence is a
+# NECESSARY condition for the pattern to match (the pattern contains it
+# verbatim outside any optional part) — `needle in s` is a C-level
+# precheck that skips the regex scan on rows the abbreviation is absent
+# from. Exact: a skipped sub is an identity sub.
 _ABBR = [
-    (re.compile(r"\bmah\.?\b"), "mahalle"),
-    (re.compile(r"\bmahallesi\b"), "mahalle"),
-    (re.compile(r"\bmh\.?\b"), "mahalle"),
-    (re.compile(r"\bcad\.?\b"), "cadde"),
-    (re.compile(r"\bcaddesi\b"), "cadde"),
-    (re.compile(r"\bcd\.?\b"), "cadde"),
-    (re.compile(r"\bsok\.?\b"), "sokak"),
-    (re.compile(r"\bsokağı\b"), "sokak"),
-    (re.compile(r"\bsk\.?\b"), "sokak"),
-    (re.compile(r"\bbulv?\.?\b"), "bulvar"),
-    (re.compile(r"\bbulvarı\b"), "bulvar"),
-    (re.compile(r"\bno:?"), "no "),
-    (re.compile(r"\bkapı no:?"), "no "),
-    (re.compile(r"\bd[.:]\B"), "daire "),
-    (re.compile(r"\bdaire:?"), "daire "),
-    (re.compile(r"\bkat:?"), "kat "),
-    (re.compile(r"\bapt\.?\b"), "apartman"),
-    (re.compile(r"\bap\b"), "apartman"),
+    ("mah", re.compile(r"\bmah\.?\b"), "mahalle"),
+    ("mahallesi", re.compile(r"\bmahallesi\b"), "mahalle"),
+    ("mh", re.compile(r"\bmh\.?\b"), "mahalle"),
+    ("cad", re.compile(r"\bcad\.?\b"), "cadde"),
+    ("caddesi", re.compile(r"\bcaddesi\b"), "cadde"),
+    ("cd", re.compile(r"\bcd\.?\b"), "cadde"),
+    ("sok", re.compile(r"\bsok\.?\b"), "sokak"),
+    ("sokağı", re.compile(r"\bsokağı\b"), "sokak"),
+    ("sk", re.compile(r"\bsk\.?\b"), "sokak"),
+    ("bul", re.compile(r"\bbulv?\.?\b"), "bulvar"),
+    ("bulvarı", re.compile(r"\bbulvarı\b"), "bulvar"),
+    ("no", re.compile(r"\bno:?"), "no "),
+    ("kapı no", re.compile(r"\bkapı no:?"), "no "),
+    ("d", re.compile(r"\bd[.:]\B"), "daire "),
+    ("daire", re.compile(r"\bdaire:?"), "daire "),
+    ("kat", re.compile(r"\bkat:?"), "kat "),
+    ("apt", re.compile(r"\bapt\.?\b"), "apartman"),
+    ("ap", re.compile(r"\bap\b"), "apartman"),
 ]
 
 _RE_SPACES = re.compile(r"\s+")
@@ -135,8 +140,9 @@ def clean_text(s: str | None) -> str:
     s = _RE_PUNCT_DN.sub(" ", s)
     s = _RE_PUNCT_ND.sub(" ", s)
     s = _RE_SEP.sub(" ", s)
-    for pat, repl in _ABBR:
-        s = pat.sub(repl, s)
+    for needle, pat, repl in _ABBR:
+        if needle in s:
+            s = pat.sub(repl, s)
     s = _RE_D_NUM.sub("daire ", s)
     s = _RE_NO_FIX.sub(r"no \1", s)
     s = _RE_DOT_STREET.sub(r"\1 \2", s)
