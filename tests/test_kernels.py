@@ -270,3 +270,40 @@ def test_confidence_kernels():
     assert got == want
     got = combine_scores(90.0, 100.0, 50.0, 0.8, 0.15, 0.05)
     assert got == round(90 * 0.8 + 100 * 0.15 + 50 * 0.05, 2)
+
+
+def test_abbr_needle_precheck_is_necessary_condition():
+    """The literal-needle precheck added in round 4 skips a regex sub
+    when ``needle not in s``. That is an identity skip ONLY if needle
+    presence is a necessary condition for the pattern to match — the
+    needle must appear verbatim in the pattern outside any optional
+    part. Verify the implication pat.search(s) => needle in s over an
+    adversarial corpus (needles at word boundaries, glued, with
+    dots/colons, Turkish letters, partial prefixes) and random fuzz."""
+    import itertools
+    import random as _random
+
+    from raylink.normalize import get_normalizer
+    from raylink.parse import _ABBR
+
+    rules = list(_ABBR) + list(get_normalizer().abbrev_rules)
+    assert rules, "no abbreviation rules compiled"
+
+    pieces = [
+        "mah", "mah.", "mahx", "xmah", "mahallesi", "mh", "cad", "cad.",
+        "caddesi", "cd", "sok", "sok.", "sokağı", "sk", "sk.", "bul",
+        "bulv", "bulv.", "bulvarı", "no", "no:", "kapı no:", "kapı",
+        "d", "d.", "d:", "daire", "daire:", "kat", "kat:", "k:", "apt",
+        "apt.", "ap", "apx", "1", "a", "ğ", "ı", ".", ":", "",
+    ]
+    corpus = [" ".join(p) for p in itertools.product(pieces, repeat=2)]
+    corpus += ["".join(p) for p in itertools.product(pieces, repeat=2)]
+    rng = _random.Random(42)
+    alphabet = "mahcdsokbulvrıtğpn .:x1"
+    corpus += ["".join(rng.choice(alphabet) for _ in range(20))
+               for _ in range(2000)]
+
+    for s in corpus:
+        for needle, pat, _repl in rules:
+            if pat.search(s):
+                assert needle in s, (needle, pat.pattern, s)
