@@ -451,6 +451,11 @@ def _sample_blocks(ds, fraction: float, seed: int):
     import ray.data as rdm
 
     try:
+        # Private Ray APIs (ds._plan, iter_internal_ref_bundles),
+        # validated on ray 2.49.x. On any failure we fall back LOUDLY
+        # to the full scan below — safe (a superset scan with the
+        # public cutoff), just slower; the log line makes a silent
+        # behavior change on a Ray upgrade visible (VERDICT r3 #3).
         if not ds._plan.has_computed_output():
             return None, 0.0, []
         refs, rows = [], []
@@ -468,7 +473,14 @@ def _sample_blocks(ds, fraction: float, seed: int):
         actual = sum(rows[i] for i in idx) / total
         probe = [refs[i] for i in idx[:4]]
         return rdm.from_arrow_refs([refs[i] for i in idx]), actual, probe
-    except Exception:
+    except Exception as exc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_sample_blocks: private Ray block-introspection API failed "
+            "(%s: %s) — falling back to a full scan for the hot-block "
+            "estimate. Expected only after a Ray upgrade past 2.49.x.",
+            type(exc).__name__, exc)
         return None, 0.0, []
 
 
