@@ -3,6 +3,8 @@
 Key modes mirror the reference mini-DSL (addresskit/matching/blocking.py:17-52):
 ``prefixN``, ``digits+prefixN``, ``province+district`` — extended with
 ``phonetic+prefixN`` (phonetic first street-ish token + alnum prefix)
+and ``geohashN`` / ``phonetic+geohashN`` (base-32 geo-hash prefix over
+lat/lon columns, the north-star's "zip/geo-hash prefix" alternative)
 per the north-star spec. The reference's default "" (single bucket) is
 rejected at scale: an empty mode raises unless ``allow_single_bucket``.
 
@@ -60,6 +62,133 @@ def phonetic_token(s: str) -> str:
     return "".join(out)[:6]
 
 
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_LAT_COLS = ("lat", "latitude")
+_LON_COLS = ("lon", "lng", "longitude")
+
+
+def geohash_encode(lat, lon, precision: int = 5):
+    """Vectorized public geohash (base-32, lon-bit-first interleave).
+
+    Returns a numpy unicode array; NaN / out-of-range rows encode as
+    ``""``. Exact prefix nesting by construction: truncating a
+    precision-``p+k`` hash to ``p`` chars equals encoding at ``p`` (the
+    quantizers are MSB-aligned), so coarser blocking keys are literal
+    prefixes of finer ones. Bit-for-bit reproducible in SQL (see the
+    generated ``supplier_geohash_blocks`` oracle): both sides evaluate
+    ``floor(((x + off) / span) * 2^bits)`` in IEEE double with the same
+    op order, then integer shifts."""
+    import numpy as np
+
+    if not 1 <= int(precision) <= 12:
+        raise ValueError("geohash precision must be in [1, 12]")
+    precision = int(precision)
+    lat = np.asarray(lat, dtype="float64")
+    lon = np.asarray(lon, dtype="float64")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2  # even interleave positions carry lon
+    lat_bits = nbits // 2
+    valid = (
+        np.isfinite(lat) & np.isfinite(lon)
+        & (lat >= -90.0) & (lat <= 90.0)
+        & (lon >= -180.0) & (lon <= 180.0)
+    )
+    ix = np.floor(
+        ((np.where(valid, lon, 0.0) + 180.0) / 360.0) * float(1 << lon_bits)
+    ).astype(np.uint64)
+    iy = np.floor(
+        ((np.where(valid, lat, 0.0) + 90.0) / 180.0) * float(1 << lat_bits)
+    ).astype(np.uint64)
+    # lon=180 / lat=90 land one past the last cell; clamp into it
+    ix = np.minimum(ix, np.uint64((1 << lon_bits) - 1))
+    iy = np.minimum(iy, np.uint64((1 << lat_bits) - 1))
+    code = np.zeros(lat.shape, dtype=np.uint64)
+    for j in range(nbits):  # <=60 vectorized passes, not per-row work
+        if j % 2 == 0:
+            bit = (ix >> np.uint64(lon_bits - 1 - j // 2)) & np.uint64(1)
+        else:
+            bit = (iy >> np.uint64(lat_bits - 1 - j // 2)) & np.uint64(1)
+        code = (code << np.uint64(1)) | bit
+    tbl = np.frombuffer(_GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+    chars = np.empty((lat.size, precision), dtype=np.uint8)
+    flat = code.ravel()
+    for i in range(precision):
+        chars[:, i] = tbl[
+            ((flat >> np.uint64(5 * (precision - 1 - i))) & np.uint64(31))
+            .astype(np.intp)
+        ]
+    out = chars.view(f"S{precision}").ravel().astype(str)
+    return np.where(valid.ravel(), out, "").reshape(lat.shape)
+
+
+def geohash_sql_parts(precision: int = 5) -> dict:
+    """Generated DuckDB twin of :func:`geohash_encode`, bit-for-bit.
+
+    Returns SQL expression strings meant to be layered as CTEs (each
+    layer may only reference names defined by the previous one):
+
+    1. caller defines ``lat``, ``lon`` (DOUBLE)
+    2. ``valid``  -> alias it ``gvalid``
+    3. ``ix``/``iy`` -> alias them ``ix``/``iy`` (reference ``gvalid``)
+    4. ``code``   -> alias it ``code`` (references ``ix``/``iy``)
+    5. ``key``    (references ``code`` + ``gvalid``)
+
+    Both sides evaluate ``floor(((x + off) / span) * 2^bits)`` in IEEE
+    double with the same op order, then pure integer shifts, so the SQL
+    reproduces the numpy encoder exactly (invalid/NULL rows -> '' on
+    both sides; the quantizer input is substituted with 0.0 exactly as
+    ``np.where(valid, x, 0.0)`` does, keeping FLOOR(NaN) out of SQL)."""
+    if not 1 <= int(precision) <= 12:
+        raise ValueError("geohash precision must be in [1, 12]")
+    precision = int(precision)
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    valid = (
+        "COALESCE(isfinite(lat) AND isfinite(lon) "
+        "AND lat >= -90.0 AND lat <= 90.0 "
+        "AND lon >= -180.0 AND lon <= 180.0, FALSE)"
+    )
+    ix = (
+        f"LEAST(CAST(FLOOR((((CASE WHEN gvalid THEN lon ELSE 0.0 END)"
+        f" + 180.0) / 360.0) * {float(1 << lon_bits)!r}) AS BIGINT),"
+        f" {(1 << lon_bits) - 1})"
+    )
+    iy = (
+        f"LEAST(CAST(FLOOR((((CASE WHEN gvalid THEN lat ELSE 0.0 END)"
+        f" + 90.0) / 180.0) * {float(1 << lat_bits)!r}) AS BIGINT),"
+        f" {(1 << lat_bits) - 1})"
+    )
+    terms = []
+    for j in range(nbits):
+        if j % 2 == 0:
+            src, sh = "ix", lon_bits - 1 - j // 2
+        else:
+            src, sh = "iy", lat_bits - 1 - (j - 1) // 2
+        terms.append(f"((({src} >> {sh}) & 1) << {nbits - 1 - j})")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GEOHASH_ALPHABET}', CAST((code >> "
+        f"{5 * (precision - 1 - i)}) & 31 AS INTEGER) + 1, 1)"
+        for i in range(precision)
+    )
+    key = f"CASE WHEN gvalid THEN {chars} ELSE '' END"
+    return {"valid": valid, "ix": ix, "iy": iy, "code": code, "key": key}
+
+
+def _geohash_scalar(lat, lon, precision: int) -> str:
+    import numpy as np
+
+    def _f(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return float("nan")
+
+    return str(geohash_encode(np.array([_f(lat)]), np.array([_f(lon)]),
+                              precision)[0])
+
+
 def make_block_key(row: dict, text_col: str, mode: str,
                    allow_single_bucket: bool = True) -> str:
     """Row-level key builder (reference blocking.py:17-52 semantics)."""
@@ -69,6 +198,16 @@ def make_block_key(row: dict, text_col: str, mode: str,
     if mode.startswith("digits+prefix"):
         n = int(_RE_MODE_N.findall(mode)[0])
         return f"{first_digits(txt)}|{alnum_lower(txt)[:n]}"
+    if mode.startswith("phonetic+geohash") or mode.startswith("geohash"):
+        n = int(_RE_MODE_N.findall(mode)[0])
+        lat = next((row[c] for c in _LAT_COLS if row.get(c) is not None),
+                   None)
+        lon = next((row[c] for c in _LON_COLS if row.get(c) is not None),
+                   None)
+        gh = _geohash_scalar(lat, lon, n)
+        if mode.startswith("phonetic+"):
+            return f"{phonetic_token(txt)}|{gh}"
+        return gh
     if mode.startswith("phonetic+prefix"):
         n = int(_RE_MODE_N.findall(mode)[0])
         return f"{phonetic_token(txt)}|{alnum_lower(txt)[:n]}"
@@ -103,7 +242,31 @@ def make_block_key_batch_fn(text_col: str, mode: str,
         cols = batch.column_names
         rows_needed = mode_l == "province+district"
         texts = batch.column(text_col).to_pylist() if text_col in cols else [""] * batch.num_rows
-        if rows_needed:
+        if "geohash" in mode_l:
+            import numpy as np
+
+            n = int(_RE_MODE_N.findall(mode_l)[0])
+            latc = next((c for c in _LAT_COLS if c in cols), None)
+            lonc = next((c for c in _LON_COLS if c in cols), None)
+            if latc is None or lonc is None:
+                raise ValueError(
+                    f"blocking mode {mode_l!r} needs lat/lon columns "
+                    f"({_LAT_COLS}/{_LON_COLS}); batch has {cols}")
+
+            def _np(c):
+                arr = batch.column(c)
+                if not pa.types.is_floating(arr.type):
+                    arr = arr.cast(pa.float64())
+                return arr.to_numpy(zero_copy_only=False).astype(
+                    "float64", copy=False)
+
+            gh = geohash_encode(_np(latc), _np(lonc), n)
+            if mode_l.startswith("phonetic+"):
+                keys = [f"{phonetic_token(t)}|{g}"
+                        for t, g in zip(texts, gh)]
+            else:
+                keys = gh.tolist()
+        elif rows_needed:
             aux = {
                 c: batch.column(c).to_pylist()
                 for c in ("il", "ilce", "province", "district", "city", "county")
@@ -131,7 +294,7 @@ def _first_row_key(batch: pa.Table, text_col: str, mode: str) -> str:
     """Recompute row 0's block key under ``mode`` (reuse spot check)."""
     row = {}
     for c in (text_col, "il", "ilce", "province", "district", "city",
-              "county"):
+              "county", *_LAT_COLS, *_LON_COLS):
         if c in batch.column_names:
             row[c] = batch.column(c)[0].as_py()
     return make_block_key(row, text_col, mode)
