@@ -60,6 +60,83 @@ def test_geohash_dsl_row_and_batch_agree():
     ]
 
 
+def _geohash_bisect(lat: float, lon: float, precision: int) -> str:
+    """Textbook interval-bisection geohash (independent derivation —
+    shares no code or op order with the vectorized quantizer)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = 0, [], True
+    ch = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+@pytest.mark.parametrize("precision", [2, 6, 12])
+def test_geohash_matches_textbook_bisection(precision):
+    # interval bisection and MSB-aligned quantization agree except
+    # possibly on exact cell boundaries where / 2 midpoints round
+    # differently than the closed-form quantizer; random uniform
+    # doubles never land there
+    rng = np.random.default_rng(precision)
+    lat = rng.uniform(-90, 90, 300)
+    lon = rng.uniform(-180, 180, 300)
+    got = geohash_encode(lat, lon, precision)
+    for i in range(lat.size):
+        assert got[i] == _geohash_bisect(lat[i], lon[i], precision)
+
+
+def test_geohash_sql_twin_boundary_floats():
+    """Adversarial boundary inputs: coordinates that are EXACT cell
+    edges at precision 5 (quantizer input hits an integer), plus
+    nextafter neighbors on each side — the rounding-sensitive spots
+    where numpy and DuckDB could disagree if op order differed."""
+    edges_lon = np.array([(-180.0 + 360.0 * k / 8192.0) for k in
+                          range(0, 8192, 511)])
+    edges_lat = np.array([(-90.0 + 180.0 * k / 4096.0) for k in
+                          range(0, 4096, 255)])
+    lon = np.concatenate([edges_lon, np.nextafter(edges_lon, -200.0),
+                          np.nextafter(edges_lon, 200.0)])
+    lat = np.concatenate([edges_lat, np.nextafter(edges_lat, -100.0),
+                          np.nextafter(edges_lat, 100.0)])
+    n = min(lat.size, lon.size)
+    lat, lon = lat[:n], lon[:n]
+    lat = np.clip(lat, -90.0, 90.0)
+    lon = np.clip(lon, -180.0, 180.0)
+    expect = geohash_encode(lat, lon, 5).tolist()
+    p = geohash_sql_parts(5)
+    con = duckdb.connect()
+    con.register("pts", pa.table({"lat": lat, "lon": lon}))
+    got = [r[0] for r in con.execute(f"""
+        WITH v AS (SELECT lat, lon, {p['valid']} AS gvalid FROM pts),
+        q AS (SELECT *, {p['ix']} AS ix, {p['iy']} AS iy FROM v),
+        b AS (SELECT *, {p['code']} AS code FROM q)
+        SELECT {p['key']} FROM b
+    """).fetchall()]
+    assert got == expect
+
+
 @pytest.mark.parametrize("precision", [1, 5, 7])
 def test_geohash_sql_twin_bit_for_bit(precision):
     rng = np.random.default_rng(42)
