@@ -67,17 +67,14 @@ _LAT_COLS = ("lat", "latitude")
 _LON_COLS = ("lon", "lng", "longitude")
 
 
-def geohash_encode(lat, lon, precision: int = 5):
-    """Vectorized public geohash (base-32, lon-bit-first interleave).
-
-    Returns a numpy unicode array; NaN / out-of-range rows encode as
-    ``""``. Exact prefix nesting by construction: truncating a
-    precision-``p+k`` hash to ``p`` chars equals encoding at ``p`` (the
-    quantizers are MSB-aligned), so coarser blocking keys are literal
-    prefixes of finer ones. Bit-for-bit reproducible in SQL (see the
-    generated ``supplier_geohash_blocks`` oracle): both sides evaluate
-    ``floor(((x + off) / span) * 2^bits)`` in IEEE double with the same
-    op order, then integer shifts."""
+def geo_cell_coords(lat, lon, precision: int = 5):
+    """MSB-aligned geohash cell quantizer: ``(ix, iy, valid)`` uint64 /
+    uint64 / bool arrays. Factored out of :func:`geohash_encode`
+    (IDENTICAL op order — the SQL twin depends on it); also the cell
+    grid for :func:`raylink.joins.spatial_self_join`, where integer
+    (ix, iy) beat geohash strings for neighbor arithmetic and cheap
+    shuffle keys. ix wraps at the antimeridian (ix=0 and ix=nx-1 are
+    geographically adjacent); iy does not wrap."""
     import numpy as np
 
     if not 1 <= int(precision) <= 12:
@@ -86,7 +83,7 @@ def geohash_encode(lat, lon, precision: int = 5):
     lat = np.asarray(lat, dtype="float64")
     lon = np.asarray(lon, dtype="float64")
     nbits = 5 * precision
-    lon_bits = (nbits + 1) // 2  # even interleave positions carry lon
+    lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
     valid = (
         np.isfinite(lat) & np.isfinite(lon)
@@ -102,6 +99,28 @@ def geohash_encode(lat, lon, precision: int = 5):
     # lon=180 / lat=90 land one past the last cell; clamp into it
     ix = np.minimum(ix, np.uint64((1 << lon_bits) - 1))
     iy = np.minimum(iy, np.uint64((1 << lat_bits) - 1))
+    return ix, iy, valid
+
+
+def geohash_encode(lat, lon, precision: int = 5):
+    """Vectorized public geohash (base-32, lon-bit-first interleave).
+
+    Returns a numpy unicode array; NaN / out-of-range rows encode as
+    ``""``. Exact prefix nesting by construction: truncating a
+    precision-``p+k`` hash to ``p`` chars equals encoding at ``p`` (the
+    quantizers are MSB-aligned), so coarser blocking keys are literal
+    prefixes of finer ones. Bit-for-bit reproducible in SQL (see the
+    generated ``supplier_geohash_blocks`` oracle): both sides evaluate
+    ``floor(((x + off) / span) * 2^bits)`` in IEEE double with the same
+    op order, then integer shifts."""
+    import numpy as np
+
+    precision = int(precision)
+    ix, iy, valid = geo_cell_coords(lat, lon, precision)
+    lat = np.asarray(lat, dtype="float64")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2  # even interleave positions carry lon
+    lat_bits = nbits // 2
     code = np.zeros(lat.shape, dtype=np.uint64)
     for j in range(nbits):  # <=60 vectorized passes, not per-row work
         if j % 2 == 0:

@@ -442,3 +442,183 @@ def band_join(left, right, on: str, delta, by: str | None = None,
         tagged.groupby("_bb")
         .map_groups(merge_bucket, batch_format="pyarrow")
     )
+
+
+_KM_PER_DEG_LAT = 110.574
+_KM_PER_DEG_LON_EQ = 111.320
+
+
+def spatial_precision_for_radius(radius_km: float,
+                                 max_abs_lat: float = 75.0) -> int:
+    """Finest geohash precision whose cell is at least ``radius_km``
+    wide in BOTH axes everywhere in the latitude band
+    ``|lat| <= max_abs_lat`` (longitude degrees shrink by cos(lat), so
+    the band bound is what makes the 3x3-neighbor cover sound)."""
+    import math
+
+    if not radius_km > 0:
+        raise ValueError("spatial join: radius_km must be > 0")
+    if not 0 < max_abs_lat < 90:
+        raise ValueError("spatial join: max_abs_lat must be in (0, 90)")
+    best = None
+    for p in range(1, 13):
+        nbits = 5 * p
+        cell_lat_km = (180.0 / (1 << (nbits // 2))) * _KM_PER_DEG_LAT
+        cell_lon_km = ((360.0 / (1 << ((nbits + 1) // 2)))
+                       * _KM_PER_DEG_LON_EQ
+                       * math.cos(math.radians(max_abs_lat)))
+        if min(cell_lat_km, cell_lon_km) >= radius_km:
+            best = p
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"spatial join: radius {radius_km} km exceeds the coarsest "
+            f"geohash cell inside |lat| <= {max_abs_lat}")
+    return best
+
+
+def spatial_self_join(ds, id_col: str, radius_km: float,
+                      lat_col: str = "lat", lon_col: str = "lon",
+                      max_abs_lat: float = 75.0,
+                      precision: int | None = None,
+                      num_buckets: int = 64):
+    """Distributed spatial near-self-join: all pairs of rows within
+    ``radius_km`` great-circle km (haversine, same kernel/constants as
+    raylink.scoring), emitted once each as (left_id, right_id, dist_km)
+    with ``left_id < right_id``. The geo analogue of
+    ``band_join`` — the predicate DuckDB spells
+    ``JOIN ... ON haversine(a, b) <= r`` (tests/test_spatial_join.py
+    checks pair-set equality against exactly that oracle).
+
+    Scale shape: ONE co-shuffle, bounded x10 replication of a 4-column
+    projection (id, lat, lon, cell) — never the payload. Points are
+    quantized to geohash cells (:func:`raylink.blocking.geo_cell_coords`)
+    at the finest precision whose cell spans >= radius in both axes
+    within ``|lat| <= max_abs_lat``; each point ships once as the
+    ANCHOR of its own cell and 9x as a REPLICA into its 3x3 neighbor
+    cells (ix wraps at the antimeridian, iy skips past the poles — skip,
+    not clamp, so no duplicate replicas). Any qualifying pair differs by
+    <= 1 cell per axis, so anchor a meets b's unique replica in a's
+    cell; ``left_id < right_id`` keeps exactly one of the two symmetric
+    meetings. Cells are hash-bucketed into <= ``num_buckets`` shuffle
+    groups; each bucket resolves with one C-level pandas merge on the
+    cell id plus a vectorized haversine filter. Partitioning
+    assumptions: one bucket (x10 replicas) fits a worker's heap (raise
+    ``num_buckets`` for bigger inputs), and cells are small relative to
+    the data spread — a radius comparable to the whole extent
+    degenerates to a cross join by construction, same as band_join.
+
+    Rows with NaN / out-of-world coordinates or ``|lat| > max_abs_lat``
+    raise (loud, like every bound in this repo) — filter first. Pass
+    ``precision`` to override the radius-derived cell size (finer cells
+    = more cells = better balance, but the >= radius cover bound must
+    hold: values finer than the derived one are rejected)."""
+    import numpy as np
+    import pandas as pd
+
+    derived = spatial_precision_for_radius(radius_km, max_abs_lat)
+    if precision is None:
+        precision = derived
+    elif precision > derived:
+        raise ValueError(
+            f"spatial join: precision {precision} has cells narrower "
+            f"than radius {radius_km} km at |lat| <= {max_abs_lat} "
+            f"(finest sound precision: {derived})")
+    from .blocks import dataset_schema
+    from .blocking import geo_cell_coords
+
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    nx = 1 << lon_bits
+    ny = 1 << lat_bits
+
+    in_schema = dataset_schema(ds)
+    id_field = in_schema.field(id_col)
+    tag_schema = pa.schema([
+        pa.field("_sid", id_field.type),
+        pa.field("_slat", pa.float64()),
+        pa.field("_slon", pa.float64()),
+        pa.field("_scell", pa.int64()),
+        pa.field("_sb", pa.int32()),
+        pa.field("_sside", pa.int8()),
+    ])
+    out_schema = pa.schema([
+        pa.field("left_id", id_field.type),
+        pa.field("right_id", id_field.type),
+        pa.field("dist_km", pa.float64()),
+    ])
+
+    def tag(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(
+            "float64", copy=False)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(
+            "float64", copy=False)
+        ix, iy, valid = geo_cell_coords(lat, lon, precision)
+        bad = int((~valid).sum())
+        if bad:
+            raise ValueError(
+                f"spatial join: {bad} row(s) with NaN/out-of-world "
+                f"coordinates — filter before joining")
+        band = int((np.abs(lat) > max_abs_lat).sum())
+        if band:
+            raise ValueError(
+                f"spatial join: {band} row(s) outside |lat| <= "
+                f"{max_abs_lat}; raise max_abs_lat (coarser cells) or "
+                f"filter them")
+        ids = t.column(id_col)
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+
+        def part(jx, jy, keep, side):
+            if keep is not None:
+                jx, jy = jx[keep], jy[keep]
+            cell = jx * np.int64(ny) + jy
+            h = pd.util.hash_array(cell.astype(np.uint64),
+                                   categorize=False)
+            cols = [
+                ids.filter(pa.array(keep)) if keep is not None else ids,
+                pa.array(lat[keep] if keep is not None else lat),
+                pa.array(lon[keep] if keep is not None else lon),
+                pa.array(cell),
+                pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                pa.array(np.full(len(cell), side, dtype=np.int8)),
+            ]
+            return pa.Table.from_arrays(cols, schema=tag_schema)
+
+        parts = [part(ix, iy, None, 0)]
+        for dx in (-1, 0, 1):
+            jx = (ix + dx) % np.int64(nx)  # antimeridian wrap
+            for dy in (-1, 0, 1):
+                jy = iy + dy
+                keep = (jy >= 0) & (jy < ny)  # poles: skip, not clamp
+                parts.append(part(jx, jy, None if keep.all() else keep, 1))
+        return pa.concat_tables(parts)
+
+    from .scoring import haversine_km_vec
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_sside" not in g.column_names:
+            return out_schema.empty_table()
+        side = g.column("_sside")
+        af = g.filter(pc.equal(side, 0)).to_pandas()
+        rf = g.filter(pc.equal(side, 1)).to_pandas()
+        cand = af.merge(rf, on="_scell", suffixes=("", "_r"))
+        if not len(cand):
+            return out_schema.empty_table()
+        d = haversine_km_vec(
+            cand["_slat"].to_numpy(), cand["_slon"].to_numpy(),
+            cand["_slat_r"].to_numpy(), cand["_slon_r"].to_numpy())
+        keep = (d <= radius_km) & (cand["_sid"] < cand["_sid_r"])
+        out = pd.DataFrame({
+            "left_id": cand["_sid"][keep],
+            "right_id": cand["_sid_r"][keep],
+            "dist_km": d[keep.to_numpy()],
+        })
+        return pa.Table.from_pandas(
+            out, preserve_index=False).cast(out_schema)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_sb").map_groups(
+        merge_bucket, batch_format="pyarrow")
