@@ -445,15 +445,22 @@ def q_length_stats_by_lang(sf_dir: str):
     )
 
 
+def _supplier_coords(t: pa.Table) -> tuple:
+    """Deterministic lat/lon derived from s_suppkey — the ONE Python
+    definition shared by q_haversine_suppliers and
+    q_supplier_geohash_blocks (their SQL oracles carry the matching
+    fmod expressions literally)."""
+    k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype("float64")
+    return 36.0 + (k * 7.0) % 6.0, 26.0 + (k * 13.0) % 19.0
+
+
 def q_haversine_suppliers(sf_dir: str):
     """Vectorized haversine + linear geo decay (F3/F4) over
     deterministically derived coordinates."""
     supp = _t(sf_dir, "supplier", ["s_suppkey"])
 
     def coords(t: pa.Table) -> pa.Table:
-        k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype("float64")
-        lat = 36.0 + (k * 7.0) % 6.0
-        lon = 26.0 + (k * 13.0) % 19.0
+        lat, lon = _supplier_coords(t)
         d = haversine_km_vec(lat, lon, 39.9334, 32.8597)
         return pa.table(
             {
@@ -472,7 +479,8 @@ def q_supplier_geohash_blocks(sf_dir: str):
     keys of "phonetic street token + zip/geo-hash prefix"; the flagship
     uses the zip-like digits+prefix mode, this exercises the geo-hash
     alternative). Coordinates are derived deterministically from
-    s_suppkey exactly as in q_haversine_suppliers; the key is the
+    s_suppkey via the shared _supplier_coords helper (same derivation
+    as q_haversine_suppliers, structurally); the key is the
     vectorized base-32 geohash at precision 5 via the blocking DSL
     batch kernel (mode "geohash5"); the oracle is a GENERATED
     bit-interleave SQL twin (raylink.blocking.geohash_sql_parts),
@@ -483,11 +491,11 @@ def q_supplier_geohash_blocks(sf_dir: str):
     supp = _t(sf_dir, "supplier", ["s_suppkey"])
 
     def coords(t: pa.Table) -> pa.Table:
-        k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype("float64")
+        lat, lon = _supplier_coords(t)
         return pa.table({
             "s_suppkey": t["s_suppkey"],
-            "lat": pa.array(36.0 + (k * 7.0) % 6.0),
-            "lon": pa.array(26.0 + (k * 13.0) % 19.0),
+            "lat": pa.array(lat),
+            "lon": pa.array(lon),
         })
 
     keyed = supp.map_batches(coords, batch_format="pyarrow").map_batches(

@@ -219,10 +219,12 @@ def make_block_key(row: dict, text_col: str, mode: str,
         return f"{first_digits(txt)}|{alnum_lower(txt)[:n]}"
     if mode.startswith("phonetic+geohash") or mode.startswith("geohash"):
         n = int(_RE_MODE_N.findall(mode)[0])
-        lat = next((row[c] for c in _LAT_COLS if row.get(c) is not None),
-                   None)
-        lon = next((row[c] for c in _LON_COLS if row.get(c) is not None),
-                   None)
+        # first column NAME present wins (a present-but-null lat does
+        # NOT fall through to latitude) — the batch kernel picks by
+        # column name, and the two paths must agree row for row
+        # (add_block_keys' reuse spot check compares them)
+        lat = next((row[c] for c in _LAT_COLS if c in row), None)
+        lon = next((row[c] for c in _LON_COLS if c in row), None)
         gh = _geohash_scalar(lat, lon, n)
         if mode.startswith("phonetic+"):
             return f"{phonetic_token(txt)}|{gh}"
@@ -260,7 +262,11 @@ def make_block_key_batch_fn(text_col: str, mode: str,
     def block_batch(batch: pa.Table) -> pa.Table:
         cols = batch.column_names
         rows_needed = mode_l == "province+district"
-        texts = batch.column(text_col).to_pylist() if text_col in cols else [""] * batch.num_rows
+
+        def _texts():
+            return (batch.column(text_col).to_pylist()
+                    if text_col in cols else [""] * batch.num_rows)
+
         if "geohash" in mode_l:
             import numpy as np
 
@@ -282,10 +288,11 @@ def make_block_key_batch_fn(text_col: str, mode: str,
             gh = geohash_encode(_np(latc), _np(lonc), n)
             if mode_l.startswith("phonetic+"):
                 keys = [f"{phonetic_token(t)}|{g}"
-                        for t, g in zip(texts, gh)]
+                        for t, g in zip(_texts(), gh)]
             else:
                 keys = gh.tolist()
         elif rows_needed:
+            texts = _texts()
             aux = {
                 c: batch.column(c).to_pylist()
                 for c in ("il", "ilce", "province", "district", "city", "county")
@@ -300,7 +307,7 @@ def make_block_key_batch_fn(text_col: str, mode: str,
         else:
             keys = [
                 make_block_key({text_col: t}, text_col, mode_l)
-                for t in texts
+                for t in _texts()
             ]
         if out_col in cols:
             batch = batch.drop_columns([out_col])

@@ -444,30 +444,38 @@ def band_join(left, right, on: str, delta, by: str | None = None,
     )
 
 
-_KM_PER_DEG_LAT = 110.574
-_KM_PER_DEG_LON_EQ = 111.320
+_EARTH_R_KM = 6371.0088  # same sphere as raylink.scoring.haversine_km_vec
 
 
 def spatial_precision_for_radius(radius_km: float,
                                  max_abs_lat: float = 75.0) -> int:
-    """Finest geohash precision whose cell is at least ``radius_km``
-    wide in BOTH axes everywhere in the latitude band
-    ``|lat| <= max_abs_lat`` (longitude degrees shrink by cos(lat), so
-    the band bound is what makes the 3x3-neighbor cover sound)."""
+    """Finest geohash precision whose cell spans the maximum possible
+    coordinate difference of any point pair within ``radius_km``
+    haversine km inside the band ``|lat| <= max_abs_lat`` — the EXACT
+    spherical bounds (same R as the verify kernel), not km-per-degree
+    approximations, so the 3x3-neighbor cover is sound at the boundary:
+
+    - ``|dlat| <= radius / R`` (a meridian is the shortest path
+      realizing a latitude difference);
+    - ``sin(|dlon|/2) <= sin(radius/2R) / cos(max_abs_lat)`` (the
+      haversine lon term carries ``cos(lat1)cos(lat2) >=
+      cos^2(max_abs_lat)`` inside the band)."""
     import math
 
     if not radius_km > 0:
         raise ValueError("spatial join: radius_km must be > 0")
     if not 0 < max_abs_lat < 90:
         raise ValueError("spatial join: max_abs_lat must be in (0, 90)")
+    max_dlat_deg = math.degrees(radius_km / _EARTH_R_KM)
+    s = (math.sin(radius_km / (2.0 * _EARTH_R_KM))
+         / math.cos(math.radians(max_abs_lat)))
+    max_dlon_deg = 360.0 if s >= 1.0 else math.degrees(2.0 * math.asin(s))
     best = None
     for p in range(1, 13):
         nbits = 5 * p
-        cell_lat_km = (180.0 / (1 << (nbits // 2))) * _KM_PER_DEG_LAT
-        cell_lon_km = ((360.0 / (1 << ((nbits + 1) // 2)))
-                       * _KM_PER_DEG_LON_EQ
-                       * math.cos(math.radians(max_abs_lat)))
-        if min(cell_lat_km, cell_lon_km) >= radius_km:
+        cell_lat_deg = 180.0 / (1 << (nbits // 2))
+        cell_lon_deg = 360.0 / (1 << ((nbits + 1) // 2))
+        if cell_lat_deg >= max_dlat_deg and cell_lon_deg >= max_dlon_deg:
             best = p
         else:
             break
@@ -525,7 +533,6 @@ def spatial_self_join(ds, id_col: str, radius_km: float,
             f"spatial join: precision {precision} has cells narrower "
             f"than radius {radius_km} km at |lat| <= {max_abs_lat} "
             f"(finest sound precision: {derived})")
-    from .blocks import dataset_schema
     from .blocking import geo_cell_coords
 
     nbits = 5 * precision
@@ -534,7 +541,7 @@ def spatial_self_join(ds, id_col: str, radius_km: float,
     nx = 1 << lon_bits
     ny = 1 << lat_bits
 
-    in_schema = dataset_schema(ds)
+    in_schema = _pa_schema(ds)
     id_field = in_schema.field(id_col)
     tag_schema = pa.schema([
         pa.field("_sid", id_field.type),

@@ -60,6 +60,31 @@ def test_geohash_dsl_row_and_batch_agree():
     ]
 
 
+def test_geohash_null_lat_column_shadows_latitude():
+    """Round-4 review finding 2 regression: a present-but-null 'lat'
+    column must NOT fall through to 'latitude' in the row path — both
+    paths pick the first column NAME present, so the reuse spot check
+    never flags keys its own batch kernel produced."""
+    import ray.data as rd
+
+    from raylink.blocking import add_block_keys
+
+    batch = pa.table({
+        "t": ["istanbul"],
+        "lat": pa.array([None], pa.float64()),
+        "latitude": [41.0123],
+        "lon": [28.976],
+    })
+    keys = (make_block_key_batch_fn("t", "geohash5")(batch)
+            .column("block_key").to_pylist())
+    row_key = make_block_key(batch.to_pylist()[0], "t", "geohash5")
+    assert keys[0] == row_key == ""  # null lat -> invalid -> empty key
+    # reuse=True re-derives row 0 via the ROW path; it must agree
+    keyed = add_block_keys(rd.from_arrow(batch), "t", "geohash5")
+    out = add_block_keys(keyed, "t", "geohash5", reuse=True).take_all()
+    assert out[0]["block_key"] == ""
+
+
 def _geohash_bisect(lat: float, lon: float, precision: int) -> str:
     """Textbook interval-bisection geohash (independent derivation —
     shares no code or op order with the vectorized quantizer)."""

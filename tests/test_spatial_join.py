@@ -80,6 +80,33 @@ def test_spatial_join_string_ids_and_precision_override():
             == set(map(tuple, want.to_numpy())))
 
 
+def test_spatial_cover_sound_at_radius_cell_boundary():
+    """Round-4 review finding 1 regression: with the old km-per-degree
+    cover bound, radius 1.26613 km at max_abs_lat=75 accepted
+    precision 5, whose lon cells are NARROWER than the max lon span of
+    an in-radius pair at lat 75 — this pair (1.26472 km apart, 2 lon
+    cells apart at precision 5) was silently dropped. The exact
+    spherical bound must derive a coarser precision that covers it."""
+    w = 360.0 / (1 << 13)  # precision-5 lon cell width in degrees
+    tbl = pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "lat": [75.0, 75.0],
+        "lon": [-180.0 + 100 * w - 1e-9, -180.0 + 101 * w + 1e-9],
+    })
+    radius = 1.26613
+    derived = spatial_precision_for_radius(radius, max_abs_lat=75.0)
+    assert derived < 5  # the unsound old answer was 5
+    got = spatial_self_join(rd.from_arrow(tbl), "id", radius_km=radius,
+                            num_buckets=2).to_pandas()
+    assert len(got) == 1
+    assert (got.loc[0, "left_id"], got.loc[0, "right_id"]) == (0, 1)
+    assert got.loc[0, "dist_km"] <= radius
+    # forcing the old precision is now rejected as unsound
+    with pytest.raises(ValueError, match="finest sound"):
+        spatial_self_join(rd.from_arrow(tbl), "id", radius_km=radius,
+                          precision=5)
+
+
 def test_spatial_join_contracts():
     with pytest.raises(ValueError, match="coarsest"):
         spatial_precision_for_radius(2000.0, max_abs_lat=75.0)
