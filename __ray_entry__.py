@@ -447,47 +447,15 @@ def q_length_stats_by_lang(sf_dir: str):
 
 def _supplier_coords(t: pa.Table) -> tuple:
     """Deterministic lat/lon derived from s_suppkey — the ONE Python
-    definition shared by q_haversine_suppliers and
-    q_supplier_geohash_blocks (their SQL oracles carry the matching
-    fmod expressions literally)."""
+    definition shared by q_supplier_geohash_blocks and
+    q_spatial_near_join (their SQL oracles carry the matching fmod
+    expressions literally)."""
     k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype("float64")
     return 36.0 + (k * 7.0) % 6.0, 26.0 + (k * 13.0) % 19.0
 
 
-def q_haversine_suppliers(sf_dir: str):
-    """Vectorized haversine + linear geo decay (F3/F4) over
-    deterministically derived coordinates."""
-    supp = _t(sf_dir, "supplier", ["s_suppkey"])
-
-    def coords(t: pa.Table) -> pa.Table:
-        lat, lon = _supplier_coords(t)
-        d = haversine_km_vec(lat, lon, 39.9334, 32.8597)
-        return pa.table(
-            {
-                "s_suppkey": t["s_suppkey"],
-                "lat": pa.array(lat),
-                "lon": pa.array(lon),
-                "dist_ankara_km": pa.array(d),
-            }
-        )
-
-    return supp.map_batches(coords, batch_format="pyarrow")
-
-
-def q_supplier_geohash_blocks(sf_dir: str):
-    """Geo-hash-prefix blocking key (north_star: composite blocking
-    keys of "phonetic street token + zip/geo-hash prefix"; the flagship
-    uses the zip-like digits+prefix mode, this exercises the geo-hash
-    alternative). Coordinates are derived deterministically from
-    s_suppkey via the shared _supplier_coords helper (same derivation
-    as q_haversine_suppliers, structurally); the key is the
-    vectorized base-32 geohash at precision 5 via the blocking DSL
-    batch kernel (mode "geohash5"); the oracle is a GENERATED
-    bit-interleave SQL twin (raylink.blocking.geohash_sql_parts),
-    bit-for-bit vs the numpy encoder (tests/test_geohash.py). The
-    phonetic+geohash composite is pytest-covered in the same file."""
-    from raylink.blocking import make_block_key_batch_fn
-
+def _supplier_coords_ds(sf_dir: str):
+    """Supplier keys + deterministic coords as a Dataset."""
     supp = _t(sf_dir, "supplier", ["s_suppkey"])
 
     def coords(t: pa.Table) -> pa.Table:
@@ -498,10 +466,55 @@ def q_supplier_geohash_blocks(sf_dir: str):
             "lon": pa.array(lon),
         })
 
-    keyed = supp.map_batches(coords, batch_format="pyarrow").map_batches(
+    return supp.map_batches(coords, batch_format="pyarrow")
+
+
+def q_supplier_geohash_blocks(sf_dir: str):
+    """Geo-hash-prefix blocking key (north_star: composite blocking
+    keys of "phonetic street token + zip/geo-hash prefix"; the flagship
+    uses the zip-like digits+prefix mode, this exercises the geo-hash
+    alternative) PLUS the vectorized haversine + linear geo decay
+    kernels (F3/F4 — folded from the former haversine_suppliers slot
+    so spatial_near_join fits the 50-entry gate; coverage unchanged).
+    Coordinates are derived deterministically from s_suppkey via the
+    shared _supplier_coords helper; the key is the vectorized base-32
+    geohash at precision 5 via the blocking DSL batch kernel (mode
+    "geohash5"); the oracle re-derives the distance in trig SQL and
+    the key via a GENERATED bit-interleave SQL twin
+    (raylink.blocking.geohash_sql_parts), bit-for-bit vs the numpy
+    encoder (tests/test_geohash.py). The phonetic+geohash composite is
+    pytest-covered in the same file."""
+    from raylink.blocking import make_block_key_batch_fn
+
+    keyed = _supplier_coords_ds(sf_dir).map_batches(
         make_block_key_batch_fn("s_suppkey", "geohash5"),
         batch_format="pyarrow")
-    return keyed.select_columns(["s_suppkey", "lat", "lon", "block_key"])
+
+    def dist(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        d = haversine_km_vec(lat, lon, 39.9334, 32.8597)
+        return t.append_column("dist_ankara_km", pa.array(d))
+
+    return keyed.map_batches(dist, batch_format="pyarrow").select_columns(
+        ["s_suppkey", "lat", "lon", "dist_ankara_km", "block_key"])
+
+
+def q_spatial_near_join(sf_dir: str):
+    """Distributed spatial near-self-join (geohash-cell co-shuffle,
+    3x3 neighbor replication, exact haversine verify — the geo
+    analogue of band_join): all supplier pairs within 150 km over the
+    deterministic _supplier_coords lattice. The oracle is the literal
+    all-pairs predicate ``a.key < b.key AND haversine(a,b) <= r`` in
+    DuckDB trig SQL with the same sphere radius; the join must match
+    it pair-for-pair AND distance-for-distance. Scale shape: one
+    co-shuffle of a 4-column projection, bounded x10 replication —
+    never all-pairs (tests/test_spatial_join.py exercises 450k points;
+    BENCH/BASELINE.md records 183k pts/s at 32 CPUs)."""
+    from raylink.joins import spatial_self_join
+
+    return spatial_self_join(_supplier_coords_ds(sf_dir), "s_suppkey",
+                             radius_km=150.0, num_buckets=8)
 
 
 def q_combine_scores(sf_dir: str):
@@ -1561,8 +1574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_sample": q_union_sample,
         "missing_report": q_missing_report,
         "length_stats_by_lang": q_length_stats_by_lang,
-        "haversine_suppliers": q_haversine_suppliers,
+        # r4 fold #4: haversine_suppliers' dist_ankara_km column moved
+        # INTO supplier_geohash_blocks (same coords, same trig oracle)
+        # to free a slot for spatial_near_join at the 50-entry cap.
         "supplier_geohash_blocks": q_supplier_geohash_blocks,
+        "spatial_near_join": q_spatial_near_join,
         "combine_scores": q_combine_scores,
         "doc_normalize": q_doc_normalize,
         "doc_quality_flags": q_doc_quality_flags,
@@ -2305,25 +2321,11 @@ def oracle_sql() -> dict[str, str]:
               MAX(n_chars) AS max_chars
             FROM documents GROUP BY lang
         """,
-        "haversine_suppliers": """
-            WITH c AS (
-              SELECT s_suppkey,
-                36.0 + fmod(CAST(s_suppkey AS DOUBLE)*7.0, 6.0) AS lat,
-                26.0 + fmod(CAST(s_suppkey AS DOUBLE)*13.0, 19.0) AS lon
-              FROM supplier
-            )
-            SELECT s_suppkey, lat, lon,
-              2*6371.0088*asin(sqrt(
-                sin(radians(39.9334-lat)/2)*sin(radians(39.9334-lat)/2)
-                + cos(radians(lat))*cos(radians(39.9334))
-                  *sin(radians(32.8597-lon)/2)*sin(radians(32.8597-lon)/2)
-              )) AS dist_ankara_km
-            FROM c
-        """,
         # GENERATED bit-interleave geohash twin (raylink.blocking.
-        # geohash_sql_parts, precision 5) over the same derived coords;
+        # geohash_sql_parts, precision 5) over the same derived coords,
         # bit-for-bit vs the numpy encoder incl. edge rows
-        # (tests/test_geohash.py)
+        # (tests/test_geohash.py), PLUS the haversine distance in trig
+        # SQL (folded from the former haversine_suppliers slot)
         "supplier_geohash_blocks": f"""
             WITH c AS (
               SELECT s_suppkey,
@@ -2337,8 +2339,36 @@ def oracle_sql() -> dict[str, str]:
             ), b AS (
               SELECT *, {_GH5['code']} AS code FROM q
             )
-            SELECT s_suppkey, lat, lon, {_GH5['key']} AS block_key
+            SELECT s_suppkey, lat, lon,
+              2*6371.0088*asin(sqrt(
+                sin(radians(39.9334-lat)/2)*sin(radians(39.9334-lat)/2)
+                + cos(radians(lat))*cos(radians(39.9334))
+                  *sin(radians(32.8597-lon)/2)*sin(radians(32.8597-lon)/2)
+              )) AS dist_ankara_km,
+              {_GH5['key']} AS block_key
             FROM b
+        """,
+        # literal all-pairs near-join predicate the distributed
+        # geohash-cell co-shuffle must reproduce pair-for-pair
+        "spatial_near_join": """
+            WITH c AS (
+              SELECT s_suppkey,
+                36.0 + fmod(CAST(s_suppkey AS DOUBLE)*7.0, 6.0) AS lat,
+                26.0 + fmod(CAST(s_suppkey AS DOUBLE)*13.0, 19.0) AS lon
+              FROM supplier
+            )
+            SELECT a.s_suppkey AS left_id, b.s_suppkey AS right_id,
+              2*6371.0088*asin(sqrt(
+                sin(radians(b.lat-a.lat)/2)*sin(radians(b.lat-a.lat)/2)
+                + cos(radians(a.lat))*cos(radians(b.lat))
+                  *sin(radians(b.lon-a.lon)/2)*sin(radians(b.lon-a.lon)/2)
+              )) AS dist_km
+            FROM c a JOIN c b ON a.s_suppkey < b.s_suppkey
+            WHERE 2*6371.0088*asin(sqrt(
+                sin(radians(b.lat-a.lat)/2)*sin(radians(b.lat-a.lat)/2)
+                + cos(radians(a.lat))*cos(radians(b.lat))
+                  *sin(radians(b.lon-a.lon)/2)*sin(radians(b.lon-a.lon)/2)
+              )) <= 150.0
         """,
         "combine_scores": """
             WITH s AS (
