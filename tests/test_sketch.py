@@ -1,0 +1,93 @@
+"""HyperLogLog distinct-count sketch: exact rank arithmetic vs a
+scalar reference, error bounds vs true cardinality, bit-exact
+partitioning invariance, union-merge semantics, grouped variant."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raylink.sketch import (
+    _registers_for,
+    _rho,
+    hll_count_distinct,
+    hll_count_distinct_by,
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def test_rho_matches_scalar_reference():
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**64, 5000, dtype=np.uint64)
+    # adversarial values for the integer clz: all-ones suffixes near
+    # 2^64 (a float64 log2 would round these across a power of two),
+    # zero suffix, single trailing bit
+    p = 12
+    h = np.concatenate([h, np.array(
+        [0, 1, 2**63, 2**64 - 1, (2**52 - 1) << 12, (1 << p) - 1,
+         1 << (64 - p)], dtype=np.uint64)])
+    idx, rank = _rho(h, p)
+    for hv, i, r in zip(h.tolist(), idx.tolist(), rank.tolist()):
+        assert i == hv >> (64 - p)
+        w = (hv << p) & (2**64 - 1)
+        want = (64 - p + 1) if w == 0 else (64 - w.bit_length() + 1)
+        assert r == want, hex(hv)
+
+
+@pytest.mark.parametrize("true_n", [10, 1000, 200_000])
+def test_hll_error_within_bound(ray_session, true_n):
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, true_n, true_n * 3)  # duplicates on purpose
+    truth = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    est = hll_count_distinct(ds, "v", p=12)
+    assert abs(est - truth) / truth <= 4 * hll_error_bound(12)
+
+
+def test_hll_partitioning_invariant_bit_for_bit(ray_session):
+    vals = np.arange(50_000, dtype=np.int64) % 7919
+    tbl = pa.table({"v": vals})
+    a = hll_count_distinct(rd.from_arrow(tbl).repartition(2), "v", p=10)
+    b = hll_count_distinct(rd.from_arrow(tbl).repartition(16), "v", p=10,
+                           combine_size=3)
+    assert a == b  # max-merge is order/partitioning independent
+
+
+def test_hll_merge_is_union():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 10**9, 20_000)
+    b = rng.integers(0, 10**9, 20_000)
+    p = 11
+    ra, rb = _registers_for(a, p), _registers_for(b, p)
+    runion = _registers_for(np.concatenate([a, b]), p)
+    assert np.array_equal(hll_merge([ra.tobytes(), rb.tobytes()], p),
+                          runion)
+    # idempotence: merging a sketch with itself changes nothing
+    assert np.array_equal(hll_merge([ra, ra], p), ra)
+    with pytest.raises(ValueError, match="different precisions"):
+        hll_merge([ra.tobytes()], p + 1)
+
+
+def test_hll_grouped_matches_exact_within_bound(ray_session):
+    rng = np.random.default_rng(5)
+    n = 60_000
+    groups = rng.choice(["a", "b", "c", "d"], n,
+                        p=[0.5, 0.3, 0.15, 0.05])
+    vals = rng.integers(0, 5000, n)
+    df = pd.DataFrame({"g": groups, "v": vals})
+    got = (hll_count_distinct_by(
+        rd.from_pandas(df).repartition(8), "v", "g", p=12, num_buckets=4)
+        .to_pandas().set_index("g")["approx_distinct"])
+    truth = df.groupby("g")["v"].nunique()
+    assert set(got.index) == set(truth.index)
+    for g in truth.index:
+        assert abs(got[g] - truth[g]) / truth[g] <= 4 * hll_error_bound(12)
+
+
+def test_hll_small_range_linear_counting():
+    reg = _registers_for(np.arange(25, dtype=np.int64), 12)
+    est = hll_estimate(reg)
+    assert abs(est - 25) <= 1  # linear counting is near-exact here
