@@ -108,25 +108,43 @@ def numeric_profile(ds, col: str, by: str | None = None):
 
 
 def approx_quantiles(ds, col: str, qs: list[float],
-                     sample_per_block: int = 1024) -> list[float]:
+                     sample_per_block: int = 1024,
+                     combine_size: int = 64) -> list[float]:
     """Approximate quantiles via a deterministic per-block systematic
     sample (every ceil(n/sample_per_block)-th value of the sorted
-    block) merged on the driver — the sample/sketch pattern for G5
-    (DeepEDA.py:77-101 describe quantiles). Error shrinks with
-    sample_per_block; exact when blocks are smaller than it."""
+    block) — the sample/sketch pattern for G5 (DeepEDA.py:77-101
+    describe quantiles). Error shrinks with sample_per_block; exact
+    when blocks are smaller than it.
+
+    Scale shape: a tree-combine level re-compresses ~``combine_size``
+    block samples back down to ``sample_per_block`` values (sort +
+    systematic re-sample — each retained point represents ~step points
+    of the level below), so the driver merge sees
+    ``O(blocks / combine_size)`` samples instead of one per block (the
+    same two-level recipe as learned.fit_classifier_distributed; add
+    levels if block counts grow past that). Unequal block sizes weight
+    the merge slightly toward small blocks — inherent to the
+    unweighted systematic sample, documented since round 1."""
     import numpy as np
 
-    def sample(batch: pa.Table) -> pa.Table:
-        vals = np.sort(batch.column(col).to_numpy(zero_copy_only=False))
-        n = len(vals)
-        if n == 0:
-            return pa.table({"v": pa.array([], pa.float64())})
-        step = max(1, int(np.ceil(n / sample_per_block)))
-        return pa.table({"v": pa.array(vals[::step].astype("float64"))})
+    def sampler(in_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = np.sort(
+                batch.column(in_col).to_numpy(zero_copy_only=False))
+            n = len(vals)
+            if n == 0:
+                return pa.table({"v": pa.array([], pa.float64())})
+            step = max(1, int(np.ceil(n / sample_per_block)))
+            return pa.table({"v": pa.array(vals[::step].astype("float64"))})
+        return fn
+
+    sampled = ds.map_batches(sampler(col), batch_format="pyarrow")
+    combined = sampled.map_batches(
+        sampler("v"), batch_format="pyarrow",
+        batch_size=combine_size * sample_per_block)
 
     merged: list[float] = []
-    for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+    for b in combined.iter_batches(batch_format="pyarrow"):
         merged.extend(b.column("v").to_pylist())
     if not merged:
         return [float("nan")] * len(qs)
