@@ -1,4 +1,9 @@
-"""Distributed cardinality sketches: HyperLogLog over Ray Data.
+"""Distributed sketches over Ray Data: HyperLogLog cardinality
+(overall + per-group) and a Bloom membership filter with a
+join-prefilter helper. Both reduce each block to a fixed-size blob
+inside ``map_batches`` and tree-merge with an associative,
+commutative, IDEMPOTENT operation (max / OR), so results are
+bit-identical under any partitioning, merge order or task retry.
 
 Beyond-reference LLM-pipeline operator (the "novel sketch" class):
 estimate COUNT(DISTINCT col) — overall or per group — without ever
@@ -166,3 +171,136 @@ def hll_count_distinct_by(ds, col: str, by: str, p: int = 12,
     return (_with_group_bucket(blobs, by, num_buckets)
             .groupby("_rb")
             .map_groups(merge_bucket, batch_format="pandas"))
+
+
+# ----------------------------------------------------------------------
+# Bloom filter: the membership sketch of the same family — per-block
+# bitmaps OR-merge (associative, commutative, idempotent, so the built
+# filter is bit-identical under any partitioning or retry). Primary
+# use at scale: PREFILTER the big side of an equi-join before the
+# all-to-all shuffle. joins.broadcast_semi_join ships the exact key
+# set (bounded by what fits in ray.put); a Bloom bitmap is ~10 bits
+# per key at 1% false positives, extending the broadcast regime ~10x.
+# False positives only ever KEEP extra rows (superset guarantee), so
+# composing prefilter -> exact hash join is exactly the plain join.
+# ----------------------------------------------------------------------
+
+def bloom_params(expected_distinct: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for the target false-positive rate."""
+    if not expected_distinct > 0:
+        raise ValueError("bloom: expected_distinct must be > 0")
+    if not 0 < fpp < 1:
+        raise ValueError("bloom: fpp must be in (0, 1)")
+    ln2 = float(np.log(2.0))
+    m = int(np.ceil(-expected_distinct * np.log(fpp) / (ln2 * ln2)))
+    m = max(64, (m + 7) // 8 * 8)  # whole bytes
+    k = max(1, int(round(m / expected_distinct * ln2)))
+    return m, min(k, 16)
+
+
+def _bloom_hashes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two 64-bit hash streams for double hashing (position i =
+    h1 + i*h2 mod m). h2 is h1 through a murmur3 fmix64 step — NOT a
+    second pd.util.hash_array call with a different hash_key, because
+    hash_key only feeds the string/object path and numeric keys would
+    get h2 == h1, collapsing the k probes onto one stride. h2 is
+    forced odd so the stride never collapses to a fixed point."""
+    h1 = np.asarray(pd.util.hash_array(vals, categorize=False),
+                    dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = h1 ^ (h1 >> np.uint64(33))
+        h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
+        h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)
+    return h1, h2
+
+
+def bloom_add(bitmap: np.ndarray, vals: np.ndarray, k: int) -> None:
+    m = np.uint64(bitmap.size * 8)
+    h1, h2 = _bloom_hashes(vals)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                         (np.uint64(1) << (pos & np.uint64(7)))
+                         .astype(np.uint8))
+
+
+def bloom_contains(bitmap: np.ndarray, vals: np.ndarray,
+                   k: int) -> np.ndarray:
+    """Vectorized maybe-membership mask (false positives possible,
+    false negatives impossible)."""
+    m = np.uint64(bitmap.size * 8)
+    h1, h2 = _bloom_hashes(vals)
+    out = np.ones(vals.shape, bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        bit = (bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        out &= bit.astype(bool)
+    return out
+
+
+def bloom_build(ds, col: str, expected_distinct: int, fpp: float = 0.01,
+                combine_size: int = 64) -> tuple[np.ndarray, int]:
+    """(bitmap, k) over the non-null values of ``ds[col]`` — per-block
+    partial bitmaps, OR tree-combine, tiny driver OR (same shape as
+    hll_count_distinct)."""
+    m, k = bloom_params(expected_distinct, fpp)
+    nbytes = m // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        vals = t.column(col).drop_null().to_numpy(zero_copy_only=False)
+        if vals.size:
+            bloom_add(bm, vals, k)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, np.uint8)
+        for b in t.column("bm").to_pylist():
+            np.bitwise_or(acc, np.frombuffer(b, np.uint8), out=acc)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=combine_size)
+            .take_all())
+    bm = np.zeros(nbytes, np.uint8)
+    for r in rows:
+        np.bitwise_or(bm, np.frombuffer(r["bm"], np.uint8), out=bm)
+    return bm, k
+
+
+def bloom_prefilter(left, right, on: str, right_on: str | None = None,
+                    expected_distinct: int | None = None,
+                    fpp: float = 0.01):
+    """Drop left rows whose ``on`` key cannot possibly join ``right``
+    (inner/semi equi-join prefilter — null keys are dropped too, as
+    an equi-join would). The surviving rows are a SUPERSET of the
+    exact semi-join (false positives keep extras, never drop matches),
+    so ``bloom_prefilter(L, R, on) |> hash_join(R)`` equals
+    ``hash_join(L, R)`` row-for-row while shuffling only the ~matching
+    fraction of L. When ``expected_distinct`` is omitted the filter is
+    sized by the HLL sketch over the same column (one extra pass over
+    R's key column only). The bitmap broadcasts via ray.put once —
+    ~10 bits/key at fpp=0.01 vs the full key set
+    broadcast_semi_join ships."""
+    import pyarrow.compute as pc
+    import ray
+
+    rk = right_on or on
+    if expected_distinct is None:
+        expected_distinct = max(64, int(
+            hll_count_distinct(right.select_columns([rk]), rk, p=14)))
+    bm, k = bloom_build(right.select_columns([rk]), rk,
+                        expected_distinct, fpp)
+    ref = ray.put(bm.tobytes())
+
+    def _filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(on)))
+        if t.num_rows == 0:
+            return t
+        bitmap = np.frombuffer(ray.get(ref), np.uint8)
+        vals = t.column(on).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(bitmap, vals, k)))
+
+    return left.map_batches(_filter, batch_format="pyarrow")

@@ -91,3 +91,74 @@ def test_hll_small_range_linear_counting():
     reg = _registers_for(np.arange(25, dtype=np.int64), 12)
     est = hll_estimate(reg)
     assert abs(est - 25) <= 1  # linear counting is near-exact here
+
+
+# ---------------------------------------------------------------- bloom
+
+from raylink.sketch import (  # noqa: E402
+    bloom_add,
+    bloom_build,
+    bloom_contains,
+    bloom_params,
+    bloom_prefilter,
+)
+
+
+def test_bloom_no_false_negatives_and_fpp_bound():
+    n = 20_000
+    members = np.arange(n, dtype=np.int64)
+    outsiders = np.arange(n, 3 * n, dtype=np.int64)
+    m, k = bloom_params(n, 0.01)
+    bm = np.zeros(m // 8, np.uint8)
+    bloom_add(bm, members, k)
+    assert bloom_contains(bm, members, k).all()  # never a false negative
+    fp = bloom_contains(bm, outsiders, k).mean()
+    assert fp <= 0.03  # design 1%, allow 3x slack
+
+
+def test_bloom_build_partitioning_invariant(ray_session):
+    vals = pa.table({"key": np.arange(5000, dtype=np.int64) % 1777})
+    a, ka = bloom_build(rd.from_arrow(vals).repartition(2), "key", 1777)
+    b, kb = bloom_build(rd.from_arrow(vals).repartition(13), "key", 1777,
+                        combine_size=3)
+    assert ka == kb and np.array_equal(a, b)  # OR-merge is order-free
+
+
+def test_bloom_prefilter_superset_and_exact_composition(ray_session):
+    left = pa.table({
+        "key": np.arange(0, 9000, dtype=np.int64) % 600,
+        "payload": np.arange(9000, dtype=np.int64),
+    })
+    right = pa.table({
+        "key": np.arange(0, 120, dtype=np.int64) * 3,  # 0,3,...,357
+        "tag": [f"t{i}" for i in range(120)],
+    })
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    # expected_distinct omitted -> HLL sizes the filter
+    surv = bloom_prefilter(lds, rds, "key").to_pandas()
+    match_keys = set(right.column("key").to_pylist())
+    truly = {k for k in left.column("key").to_pylist() if k in match_keys}
+    surv_keys = set(surv["key"])
+    assert truly <= surv_keys  # superset guarantee
+    # composition: prefilter -> exact join == plain exact join
+    from raylink.joins import hash_join
+
+    a = (hash_join(bloom_prefilter(lds, rds, "key"), rds, "key")
+         .to_pandas().sort_values(["payload"]).reset_index(drop=True))
+    b = (hash_join(lds, rds, "key")
+         .to_pandas().sort_values(["payload"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_bloom_string_keys_and_params_contracts():
+    vals = np.array([f"url{i}" for i in range(3000)], dtype=object)
+    m, k = bloom_params(3000, 0.01)
+    bm = np.zeros(m // 8, np.uint8)
+    bloom_add(bm, vals, k)
+    assert bloom_contains(bm, vals, k).all()
+    out = np.array([f"other{i}" for i in range(3000)], dtype=object)
+    assert bloom_contains(bm, out, k).mean() <= 0.03
+    with pytest.raises(ValueError, match="expected_distinct"):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_params(10, 1.5)
