@@ -1,0 +1,95 @@
+"""Per-key windowed analytics: lag / lead / cumulative aggregates
+over an ordering column — SQL's ``f(x) OVER (PARTITION BY key ORDER
+BY ts)`` family, which the event-time windows in ``__ray_entry__``
+(tumbling / sliding / sessions) don't cover.
+
+Scale shape (same as ranking.top_k_per_group): ONE hash-bucket
+co-shuffle keyed on the partition column into <= ``num_buckets``
+shuffle groups — never one group per distinct key — then a vectorized
+pandas sort + groupby shift/cumsum per bucket. Partitioning
+assumption: all rows of one key fit a bucket worker's heap (raise
+``num_buckets`` for bigger inputs); keys are hash-spread so only a
+single pathological key can skew a bucket.
+
+Determinism: callers should pass a ``tiebreak_col`` making
+(key, order, tiebreak) a total order — otherwise rows tying on the
+order column take input order (stable mergesort), which SQL leaves
+unspecified too (tests pin a tiebreak to compare bit-for-bit with
+DuckDB window functions)."""
+
+from __future__ import annotations
+
+import numpy as np  # noqa: F401  (callers' lambdas routinely need it)
+import pandas as pd
+
+from .blocks import dataset_schema as _pa_schema
+from .ranking import _with_group_bucket
+
+_AGGS = ("cumsum", "cumcount", "cummax", "cummin")
+
+
+def windowed(ds, key_col: str, order_col: str,
+             lag_cols: dict[str, str] | None = None,
+             lead_cols: dict[str, str] | None = None,
+             cum_aggs: dict[str, tuple[str, str]] | None = None,
+             tiebreak_col: str | None = None,
+             num_buckets: int = 64):
+    """Append windowed columns per ``key_col`` partition ordered by
+    ``order_col``.
+
+    - ``lag_cols``  {out_name: src_col}: previous row's value (null
+      on the first row of a partition) — SQL ``LAG(src) OVER (...)``.
+    - ``lead_cols`` {out_name: src_col}: next row's value — ``LEAD``.
+    - ``cum_aggs``  {out_name: (src_col, agg)} with agg in
+      ``cumsum | cumcount | cummax | cummin`` — SQL running aggregates
+      over ``ROWS UNBOUNDED PRECEDING`` (cumcount is ``row_number()-1``
+      and ignores ``src_col``).
+
+    Output: input columns + the requested columns; row order is
+    unspecified (a set, like every shuffle output here)."""
+    lag_cols = dict(lag_cols or {})
+    lead_cols = dict(lead_cols or {})
+    cum_aggs = dict(cum_aggs or {})
+    if not (lag_cols or lead_cols or cum_aggs):
+        raise ValueError("windowed: nothing requested")
+    for out, (_src, agg) in cum_aggs.items():
+        if agg not in _AGGS:
+            raise ValueError(
+                f"windowed: unknown agg {agg!r} for {out!r} "
+                f"(supported: {', '.join(_AGGS)})")
+    schema = _pa_schema(ds)
+    cols = list(schema.names)
+    clash = (set(lag_cols) | set(lead_cols) | set(cum_aggs)) & set(cols)
+    if clash:
+        raise ValueError(
+            f"windowed: output column(s) {sorted(clash)} already exist "
+            f"in the input — pick different out names")
+    sort_cols = [key_col, order_col] + (
+        [tiebreak_col] if tiebreak_col else [])
+
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if key_col not in g.columns or len(g) == 0:
+            out = schema.empty_table().to_pandas()
+            for name in (set(lag_cols) | set(lead_cols)
+                         | set(cum_aggs)):
+                out[name] = pd.Series(dtype="float64")
+            return out
+        g = g.sort_values(sort_cols, kind="mergesort")
+        # dropna=False: a null key is a partition like any other
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        for out, src in lag_cols.items():
+            g[out] = grp[src].shift(1)
+        for out, src in lead_cols.items():
+            g[out] = grp[src].shift(-1)
+        for out, (src, agg) in cum_aggs.items():
+            if agg == "cumcount":
+                g[out] = grp.cumcount()
+            else:
+                g[out] = getattr(grp[src], agg)()
+        return g.drop(columns=["_rb"], errors="ignore")
+
+    return (
+        _with_group_bucket(ds, key_col, num_buckets)
+        .groupby("_rb")
+        .map_groups(resolve_bucket, batch_format="pandas")
+    )
