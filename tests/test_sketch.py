@@ -87,6 +87,22 @@ def test_hll_grouped_matches_exact_within_bound(ray_session):
         assert abs(got[g] - truth[g]) / truth[g] <= 4 * hll_error_bound(12)
 
 
+def test_hll_grouped_sparse_equals_dense_estimate(ray_session):
+    """The sparse per-group path must reproduce hll_estimate of the
+    dense per-group registers EXACTLY (same formula, same corrections)."""
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 9000),
+        "v": rng.integers(0, 800, 9000),
+    })
+    got = (hll_count_distinct_by(
+        rd.from_pandas(df).repartition(5), "v", "g", p=10, num_buckets=2)
+        .to_pandas().set_index("g")["approx_distinct"])
+    for g, sub in df.groupby("g"):
+        dense = hll_estimate(_registers_for(sub["v"].to_numpy(), 10))
+        assert got[g] == pytest.approx(dense, rel=0, abs=1e-9), g
+
+
 def test_hll_small_range_linear_counting():
     reg = _registers_for(np.arange(25, dtype=np.int64), 12)
     est = hll_estimate(reg)
