@@ -1,0 +1,84 @@
+"""Arrow-native table reshaping: explode a list column into rows and
+unnest a struct column into flat columns — SQL's ``UNNEST`` in both
+flavors (tests/test_reshape.py compares against DuckDB UNNEST).
+
+Both are pure per-batch Arrow kernel work inside ``map_batches`` —
+``pc.list_flatten`` / ``pc.list_parent_indices`` / ``Table.flatten``,
+no Python row loop, no shuffle — so they stream at any scale."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def explode_table(batch: pa.Table, col: str,
+                  out_col: str | None = None,
+                  keep_empty: bool = False) -> pa.Table:
+    """One output row per element of ``batch[col]`` (a list column);
+    the other columns repeat. Empty and null lists drop their row
+    (DuckDB/Spark UNNEST semantics) unless ``keep_empty`` — then they
+    keep one row with a null element (LEFT JOIN UNNEST semantics)."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+        raise ValueError(
+            f"explode: column {col!r} is {arr.type}, not a list type")
+    if keep_empty:
+        # null/empty lists -> [null], so every input row survives once
+        lens = pc.fill_null(pc.list_value_length(arr), 0)
+        empty = pc.equal(lens, 0)
+        one_null = pa.array([[None]] * batch.num_rows, type=arr.type)
+        arr = pc.if_else(empty, one_null, arr)
+    flat = pc.list_flatten(arr)
+    parents = pc.list_parent_indices(arr)
+    out = batch.drop_columns([col]).take(parents)
+    return out.append_column(out_col or col, flat)
+
+
+def explode(ds, col: str, out_col: str | None = None,
+            keep_empty: bool = False):
+    """Dataset wrapper over :func:`explode_table`."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return explode_table(batch, col, out_col, keep_empty)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unnest_struct_table(batch: pa.Table, col: str,
+                        prefix: str | None = None) -> pa.Table:
+    """Replace struct column ``col`` with one flat column per field
+    (named ``{prefix}{field}``; default prefix ``{col}_``). A null
+    struct yields nulls in every field column — same as DuckDB
+    ``UNNEST(s)`` in the SELECT list."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_struct(arr.type):
+        raise ValueError(
+            f"unnest_struct: column {col!r} is {arr.type}, not a struct")
+    pre = f"{col}_" if prefix is None else prefix
+    out = batch.drop_columns([col])
+    for field in arr.type:
+        name = f"{pre}{field.name}"
+        if name in out.column_names:
+            raise ValueError(
+                f"unnest_struct: output column {name!r} already exists "
+                f"— pass a different prefix")
+        # struct-level nulls mask the child values (combine_chunks
+        # pushed validity down is NOT guaranteed; apply explicitly)
+        child = arr.field(field.name)
+        if arr.null_count:
+            child = pc.if_else(pc.is_valid(arr), child,
+                               pa.scalar(None, type=field.type))
+        out = out.append_column(name, child)
+    return out
+
+
+def unnest_struct(ds, col: str, prefix: str | None = None):
+    """Dataset wrapper over :func:`unnest_struct_table`."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return unnest_struct_table(batch, col, prefix)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
