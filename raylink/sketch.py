@@ -336,3 +336,192 @@ def bloom_prefilter(left, right, on: str, right_on: str | None = None,
         return t.filter(pa.array(bloom_contains(bitmap, vals, k)))
 
     return left.map_batches(_filter, batch_format="pyarrow")
+
+# ----------------------------------------------------------------------
+# Frequent items (heavy hitters): the FREQUENCY member of the sketch
+# family (cardinality = HLL, membership = Bloom). A distributed
+# Misra-Gries summary — per-block exact counts trimmed to k, additive
+# tree-merge + re-trim (mergeable with total error <= n/(k+1):
+# Agarwal et al., "Mergeable Summaries", PODS 2012) — plus a two-pass
+# EXACT top-m that recounts only the candidates and refuses loudly
+# when the bound cannot certify completeness.
+# ----------------------------------------------------------------------
+
+def _mg_trim(items: np.ndarray, counts: np.ndarray,
+             k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra-Gries decrement: reduce an (item, count) table to at most
+    ``k`` items by subtracting the (k+1)-th largest count from every
+    count and keeping the strictly-positive remainder. Returns
+    (items, residual counts, subtracted) — ``subtracted`` is the new
+    error this trim introduced (every surviving estimate dropped by it,
+    every dropped item had true-so-far <= it)."""
+    if len(items) <= k:
+        return items, counts, 0
+    kth = int(np.partition(counts, len(counts) - (k + 1))
+              [len(counts) - (k + 1)])
+    keep = counts > kth
+    return items[keep], counts[keep] - kth, kth
+
+
+def _mg_split(t: pa.Table, col: str) -> tuple[pa.Table, int]:
+    """Split a summary table into (item rows, accumulated error).
+    Error rides as sentinel rows with a NULL item — split on the Arrow
+    side so an int64 item column never round-trips through a
+    nullable-float numpy view (which would corrupt ids above 2^53)."""
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(t.column(col))
+    err = pc.sum(t.filter(pc.invert(valid)).column("_mg_est")).as_py() or 0
+    return t.filter(valid), int(err)
+
+
+def _mg_combine(t: pa.Table, col: str, k: int,
+                item_type: pa.DataType) -> pa.Table:
+    """Additive union of summary rows -> trim -> summary rows again
+    (items + one null-item sentinel carrying the total error). Valid
+    for ANY subset of summary rows — a summary split across two
+    batches combines piecewise without losing the error accounting —
+    so tree-combine batching needs no alignment."""
+    data, err = _mg_split(t, col)
+    g = (pd.DataFrame({
+        "i": data.column(col).to_numpy(zero_copy_only=False),
+        "c": data.column("_mg_est").to_numpy(zero_copy_only=False),
+    }).groupby("i", sort=False)["c"].sum())
+    items, cnts, sub = _mg_trim(
+        g.index.to_numpy(), g.to_numpy().astype(np.int64), k)
+    item_arr = pa.concat_arrays([
+        pa.array(items, type=item_type), pa.nulls(1, item_type)])
+    est_arr = pa.array(np.append(cnts, err + sub), pa.int64())
+    return pa.table({col: item_arr, "_mg_est": est_arr})
+
+
+def frequent_items(ds, col: str, k: int = 256, combine_size: int = 64
+                   ) -> tuple[pd.DataFrame, int]:
+    """Heavy hitters via a distributed Misra-Gries summary — the
+    frequency member of the sketch family (cardinality = HLL,
+    membership = Bloom). Returns ``(df, err)``: ``df`` has columns
+    ``(col, est_count)`` sorted by estimate descending, and for every
+    item ``est_count <= true count <= est_count + err``; any item the
+    table OMITS has true count ``<= err``; ``err <= n / (k + 1)``
+    (mergeable-summaries bound — Agarwal, Cormode, Huang, Phillips,
+    Wei, Yi, "Mergeable Summaries", PODS 2012, §3.1: MG summaries
+    merge by additive union + decrement with total error n/(k+1)).
+
+    Plan (same shape as hll_count_distinct): map_batches partial —
+    exact per-batch value_counts trimmed to ``k`` (C-level) — then a
+    tree-combine level, then a tiny driver merge; only O(k) rows per
+    summary ever move, the values themselves are never shuffled.
+    Nulls are ignored (they ride the summaries as the error sentinel).
+    NOT bit-deterministic across partitionings (trim points differ);
+    the BOUNDS hold under every partitioning, and
+    :func:`top_frequent_exact` is deterministic where it matters."""
+    if k < 1:
+        raise ValueError("frequent_items: k must be >= 1")
+    item_type = _pa_schema(ds).field(col).type
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            t.column(col).to_numpy(zero_copy_only=False)).value_counts(
+                sort=False)  # drops nulls
+        items, cnts, sub = _mg_trim(
+            vc.index.to_numpy(), vc.to_numpy().astype(np.int64), k)
+        item_arr = pa.concat_arrays([
+            pa.array(items, type=item_type), pa.nulls(1, item_type)])
+        return pa.table({col: item_arr,
+                         "_mg_est": pa.array(np.append(cnts, sub),
+                                             pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        return _mg_combine(t, col, k, item_type)
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=combine_size * (k + 1))
+            .take_all())
+    final = _mg_combine(
+        pa.Table.from_pylist(rows, schema=pa.schema(
+            [(col, item_type), ("_mg_est", pa.int64())])), col, k,
+        item_type)
+    data, err = _mg_split(final, col)
+    df = (data.to_pandas()
+          .rename(columns={"_mg_est": "est_count"})
+          .sort_values(["est_count", col], ascending=[False, True],
+                       kind="mergesort")
+          .reset_index(drop=True))
+    return df, err
+
+
+def top_frequent_exact(ds, col: str, m: int, k: int | None = None,
+                       combine_size: int = 64) -> pd.DataFrame:
+    """EXACT top-``m`` most frequent values of ``ds[col]`` (count
+    descending, value ascending on ties — DuckDB's
+    ``GROUP BY col ORDER BY count(*) DESC, col LIMIT m``), computed
+    without ever shuffling the full distinct-value set:
+
+    pass 1 — :func:`frequent_items` finds <= ``k`` candidates (default
+    ``k = max(64, 8m)``) with error bound ``err``;
+    pass 2 — the candidate set broadcasts via ``ray.put`` and each
+    batch counts ONLY candidate hits (one vectorized ``isin`` +
+    value_counts), tree-combined to exact totals — O(k) rows per
+    block regardless of input cardinality.
+
+    Completeness guard: every non-candidate's true count is <= err,
+    so if the m-th candidate count is > err the result is provably
+    the exact global top-m; otherwise this raises (increase ``k``)
+    instead of returning a silently-maybe-wrong answer."""
+    if m < 1:
+        raise ValueError("top_frequent_exact: m must be >= 1")
+    k = k if k is not None else max(64, 8 * m)
+    if k < m:
+        raise ValueError(f"top_frequent_exact: k={k} < m={m}")
+    import ray
+
+    cand_df, err = frequent_items(ds, col, k, combine_size)
+    item_type = _pa_schema(ds).field(col).type
+    ref = ray.put(cand_df[col].to_numpy())
+
+    def count_part(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(col).to_numpy(zero_copy_only=False))
+        vc = s[s.isin(ray.get(ref))].value_counts(sort=False)
+        return pa.table({
+            col: pa.array(vc.index.to_numpy(), type=item_type),
+            "_cnt": pa.array(vc.to_numpy().astype(np.int64), pa.int64())})
+
+    def sum_combine(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "i": t.column(col).to_numpy(zero_copy_only=False),
+            "c": t.column("_cnt").to_numpy(zero_copy_only=False),
+        }).groupby("i", sort=False)["c"].sum())
+        return pa.table({col: pa.array(g.index.to_numpy(), type=item_type),
+                         "_cnt": pa.array(g.to_numpy(), pa.int64())})
+
+    rows = (ds.map_batches(count_part, batch_format="pyarrow")
+            .map_batches(sum_combine, batch_format="pyarrow",
+                         batch_size=combine_size * k)
+            .take_all())
+    if not rows:
+        if err > 0:  # values existed but every candidate trimmed away
+            raise ValueError(
+                f"top_frequent_exact: cannot certify top-{m} — the "
+                f"summary kept no candidate above the error bound {err} "
+                f"(near-uniform data); re-run with a larger k "
+                f"(current k={k})")
+        return pd.DataFrame({col: pd.Series(dtype=object),
+                             "count": pd.Series(dtype="int64")})
+    exact = (pd.DataFrame(rows).groupby(col, sort=False)["_cnt"].sum()
+             .reset_index().rename(columns={"_cnt": "count"})
+             .sort_values(["count", col], ascending=[False, True],
+                          kind="mergesort")
+             .reset_index(drop=True))
+    out = exact.head(m).reset_index(drop=True)
+    # Certify: every NON-candidate's true count is <= err. The result
+    # is provably complete iff the weakest returned row still beats
+    # err; with fewer than m candidates, any dropped value (count >= 1)
+    # could belong in the top-m unless the summary never trimmed.
+    floor = int(out["count"].iloc[m - 1]) if len(exact) >= m else 0
+    if err > 0 and floor <= err:
+        raise ValueError(
+            f"top_frequent_exact: cannot certify top-{m} — the weakest "
+            f"returned count {floor} is within the summary error bound "
+            f"{err}; re-run with a larger k (current k={k})")
+    return out

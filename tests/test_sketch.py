@@ -178,3 +178,94 @@ def test_bloom_string_keys_and_params_contracts():
         bloom_params(0, 0.01)
     with pytest.raises(ValueError, match="fpp"):
         bloom_params(10, 1.5)
+
+
+# ------------------------------------------------- frequent items (MG)
+
+import duckdb  # noqa: E402
+
+from raylink.sketch import frequent_items, top_frequent_exact  # noqa: E402
+
+
+def _zipf_frame(n=60_000, n_distinct=4000, seed=17):
+    rng = np.random.default_rng(seed)
+    vals = rng.zipf(1.3, n) % n_distinct
+    return pd.DataFrame({"v": vals.astype(np.int64)})
+
+
+def test_frequent_items_bounds_hold(ray_session):
+    df = _zipf_frame()
+    truth = df["v"].value_counts()
+    k = 128
+    got, err = frequent_items(rd.from_pandas(df).repartition(9), "v", k=k)
+    assert err <= len(df) // (k + 1)  # mergeable-summaries bound
+    est = got.set_index("v")["est_count"]
+    for item, e in est.items():
+        t = int(truth[item])
+        assert e <= t <= e + err, (item, e, t, err)
+    # every item the table omits has true count <= err
+    omitted = truth[~truth.index.isin(est.index)]
+    assert (omitted <= err).all()
+    # hence every TRUE heavy hitter (count > err) is present
+    heavy = truth[truth > err]
+    assert set(heavy.index) <= set(est.index)
+
+
+def test_frequent_items_bounds_partitioning_invariant(ray_session):
+    """Estimates may shift with partitioning; the CONTRACT may not."""
+    df = _zipf_frame(n=20_000, n_distinct=900, seed=3)
+    truth = df["v"].value_counts()
+    for parts in (1, 4, 13):
+        got, err = frequent_items(
+            rd.from_pandas(df).repartition(parts), "v", k=64,
+            combine_size=3)
+        assert err <= len(df) // 65
+        for item, e in got.set_index("v")["est_count"].items():
+            assert e <= int(truth[item]) <= e + err
+
+
+def test_frequent_items_exact_when_k_exceeds_distinct(ray_session):
+    """No trim ever fires -> err == 0 and counts are exact."""
+    df = pd.DataFrame({"v": np.arange(5000, dtype=np.int64) % 37})
+    got, err = frequent_items(rd.from_pandas(df).repartition(6), "v",
+                              k=100)
+    assert err == 0
+    truth = df["v"].value_counts()
+    assert dict(zip(got["v"], got["est_count"])) == truth.to_dict()
+
+
+def test_top_frequent_exact_matches_duckdb_int_and_str(ray_session):
+    df = _zipf_frame(n=40_000, n_distinct=2500, seed=29)
+    df["s"] = "tok" + df["v"].astype(str)
+    for col in ("v", "s"):
+        got = top_frequent_exact(rd.from_pandas(df).repartition(7),
+                                 col, m=20)
+        want = duckdb.sql(
+            f"SELECT {col}, count(*)::BIGINT AS count FROM df "
+            f"GROUP BY {col} ORDER BY count DESC, {col} LIMIT 20"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.astype({"count": "int64"}), want.astype({"count": "int64"}))
+
+
+def test_top_frequent_exact_nulls_ignored(ray_session):
+    df = pd.DataFrame({"v": pd.array(
+        [1, 1, 1, 2, 2, None, None, None, None, 3], dtype="Int64")})
+    got = top_frequent_exact(rd.from_pandas(df), "v", m=2)
+    assert got["v"].tolist() == [1, 2]
+    assert got["count"].tolist() == [3, 2]
+
+
+def test_top_frequent_exact_refuses_uncertifiable(ray_session):
+    # near-uniform data + tiny k: the m-th count cannot beat the bound
+    df = pd.DataFrame({"v": np.arange(30_000, dtype=np.int64) % 9000})
+    with pytest.raises(ValueError, match="cannot certify"):
+        top_frequent_exact(rd.from_pandas(df).repartition(8), "v",
+                           m=5, k=8)
+
+
+def test_top_frequent_exact_fewer_distinct_than_m(ray_session):
+    df = pd.DataFrame({"v": np.array([5, 5, 7, 7, 7, 9], np.int64)})
+    got = top_frequent_exact(rd.from_pandas(df), "v", m=10, k=50)
+    assert got["v"].tolist() == [7, 5, 9]
+    assert got["count"].tolist() == [3, 2, 1]
