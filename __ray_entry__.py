@@ -651,14 +651,17 @@ def q_ngram_frequencies(sf_dir: str):
 def q_doc_text_stats(sf_dir: str):
     """Folded gate entry (same slot-economy rationale as
     q_ngram_frequencies): per-doc token counts + composite quality
-    score in one row; the oracle merges the two unchanged SQL twins
-    into a single SELECT."""
-    # both per-row kernels run in ONE pass over the text (cheaper than
-    # unioning/joining the two component queries)
+    score + marker-token lang-ID (r4 fold #5: doc_lang_id's column
+    moved in here to free a slot for doc_perplexity at the 50-entry
+    cap; q_doc_lang_id stays callable + bench-timed); the oracle
+    merges the unchanged SQL twins into a single SELECT."""
+    # the per-row kernels run in ONE pass over the text (cheaper than
+    # unioning/joining the component queries)
     from raylink.textstats import add_quality_score, add_token_counts
 
     src = _t(sf_dir, "documents", ["doc_id", "text"])
-    both = add_quality_score(add_token_counts(src, "text"), "text")
+    both = add_lang_id(
+        add_quality_score(add_token_counts(src, "text"), "text"), "text")
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -667,6 +670,7 @@ def q_doc_text_stats(sf_dir: str):
             "bpe_tokens": t["bpe_tokens"],
             "quality_e6": pc.cast(
                 pc.floor(pc.multiply(t["quality"], 1e6)), pa.int64()),
+            "lang_pred": t["lang_pred"],
         })
 
     return both.map_batches(proj, batch_format="pyarrow")
@@ -705,6 +709,21 @@ def q_doc_quality_score(sf_dir: str):
         )
 
     return scored.map_batches(toint, batch_format="pyarrow")
+
+
+def q_doc_perplexity(sf_dir: str):
+    """Bigram-LM self-perplexity quality signal (CCNet-style; see
+    raylink/lm.py's exactness contract). Gate columns are exact
+    integers: per-doc bigram count and e6-integerized NLL (per-bigram
+    floor(1e6*ln p) summed as int64 — order-independent, hash-safe).
+    Fit = two pre-aggregated count shuffles + distributed min_count
+    prune + bounded collect; score = actor-pool map_batches reading
+    the ray.put model once per actor."""
+    from raylink.lm import doc_perplexity
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return doc_perplexity(docs, "text", ["doc_id"], min_count=2,
+                          with_ppl=False, concurrency=4)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -1159,7 +1178,7 @@ def _learned_eval(sf_dir: str, kind: str):
 
     - ``holdout_accuracy``: accuracy at reproducing the DETERMINISTIC
       lang-ID heuristic teacher (``add_lang_id``, itself hash-checked
-      against SQL in the doc_lang_id gate row) on the held-out odd
+      against SQL inside the doc_text_stats gate row) on the held-out odd
       docs — a genuinely learnable target, asserted >= 0.65 in-query
       (measured: knn 0.792, classifier 0.756 at sf0.01).
     - ``accuracy_vs_lang``: accuracy vs the fixture's generative
@@ -1600,7 +1619,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merged (UNION ALL / single SELECT).
         "ngram_frequencies": q_ngram_frequencies,
         "lang_distribution": q_lang_distribution,
-        "doc_lang_id": q_doc_lang_id,
+        # r4 fold #5: doc_lang_id's lang_pred column moved INTO
+        # doc_text_stats (same per-doc rows, same SQL twin merged as a
+        # column) to free this slot for doc_perplexity at the 50-entry
+        # cap; q_doc_lang_id remains callable + bench-timed.
+        "doc_perplexity": q_doc_perplexity,
         "doc_text_stats": q_doc_text_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cc_chain_clusters": q_cc_chain_clusters,
@@ -1656,25 +1679,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOP_PAT = r"\b(?:" + "|".join(STOPWORDS_EN) + r")\b"
 
 
-def _lang_id_sql() -> str:
-    counts = ",\n      ".join(
+def _lang_counts_sql() -> str:
+    """Per-language marker-count column fragment (c_en, c_de, ...)."""
+    return ",\n      ".join(
         "len(list_filter(string_split_regex(lower(text), '\\s+'), "
         f"t -> t IN ({', '.join(repr(m) for m in markers)}))) AS c_{lang}"
         for lang, markers in LANG_MARKERS
     )
+
+
+def _lang_case_sql() -> str:
+    """CASE expression resolving the c_* columns to lang_pred."""
     langs = [lang for lang, _ in LANG_MARKERS]
     greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
     case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
     for lang in langs:
         case += f"WHEN c_{lang} = {greatest} THEN '{lang}' "
     case += "END"
+    return case
+
+
+def _lang_id_sql() -> str:
     return f"""
     WITH counts AS (
       SELECT doc_id,
-      {counts}
+      {_lang_counts_sql()}
       FROM documents
     )
-    SELECT doc_id, {case} AS lang_pred FROM counts
+    SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM counts
     """
 
 
@@ -2462,7 +2494,51 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, COUNT(*) AS count FROM documents GROUP BY lang
         """,
-        "doc_lang_id": _lang_id_sql(),
+        # bigram-LM self-perplexity: exactness contract documented in
+        # raylink/lm.py — same tokenization pairing as the hash-green
+        # ngram_frequencies twin, min_count prune as HAVING, add-one
+        # smoothing over BIGINT/BIGINT (DOUBLE) division, libm ln
+        # (bit-equal to math.log, measured), e6 floor per bigram,
+        # exact BIGINT sums per doc
+        "doc_perplexity": r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '') AS arr
+              FROM documents
+            ), uni AS (
+              SELECT w, COUNT(*) AS c
+              FROM (SELECT unnest(arr) AS w FROM arrs) GROUP BY w
+            ), v AS (SELECT COUNT(*) AS v FROM uni),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(arr)),
+                                      i -> arr[i] || ' ' || arr[i+1]))
+                  AS gram,
+                unnest(list_transform(range(1, len(arr)), i -> arr[i]))
+                  AS w1
+              FROM arrs WHERE len(arr) >= 2
+            ), bi AS (
+              SELECT gram, COUNT(*) AS c12 FROM grams GROUP BY gram
+              HAVING COUNT(*) >= 2
+            ), scored AS (
+              SELECT g.doc_id,
+                CAST(FLOOR(1e6 * ln(
+                  (COALESCE(b.c12, 0) + 1) / (COALESCE(u.c, 0) + v.v)
+                )) AS BIGINT) AS lp
+              FROM grams g
+              LEFT JOIN bi b ON g.gram = b.gram
+              LEFT JOIN uni u ON g.w1 = u.w
+              CROSS JOIN v
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams, -SUM(lp) AS nll_e6
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.nll_e6, 0) AS BIGINT) AS nll_e6
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "event_value_histogram": """
             SELECT CAST(FLOOR(value / 20.0) AS INTEGER) AS bin,
                    COUNT(*) AS count
@@ -2478,8 +2554,9 @@ def oracle_sql() -> dict[str, str]:
                         AS kw) kws
             GROUP BY kw
         """,
-        # folded per-row text-stats oracle: the doc_token_counts and
-        # doc_quality_score SQL twins merged into one SELECT
+        # folded per-row text-stats oracle: the doc_token_counts,
+        # doc_quality_score and doc_lang_id SQL twins merged into one
+        # SELECT (r4 fold #5)
         "doc_text_stats": rf"""
             WITH f AS (
               SELECT doc_id,
@@ -2491,7 +2568,8 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
                   AS punct,
                 CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS DOUBLE)
-                  AS stops
+                  AS stops,
+                {_lang_counts_sql()}
               FROM documents
             )
             SELECT doc_id, ws_tokens, bpe_tokens,
@@ -2499,7 +2577,8 @@ def oracle_sql() -> dict[str, str]:
                 (CASE WHEN n >= 20 AND n <= 2000 THEN 1.0 ELSE 0.0 END) * 0.4
                 + (1.0 - punct / greatest(n, 1.0)) * 0.3
                 + least(stops / greatest(words, 1.0), 1.0) * 0.3
-              )) AS BIGINT) AS quality_e6
+              )) AS BIGINT) AS quality_e6,
+              {_lang_case_sql()} AS lang_pred
             FROM f
         """,
         "ngram_jaccard_pairs": r"""

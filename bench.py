@@ -87,6 +87,7 @@ def run_bench() -> dict:
         ("token_frequencies", entrymod.q_token_frequencies),
         ("knn_bruteforce", entrymod.q_knn_bruteforce),
         ("doc_quality_score", entrymod.q_doc_quality_score),
+        ("doc_perplexity", entrymod.q_doc_perplexity),
         ("events_tumbling_window", entrymod.q_events_tumbling_window),
     ]
     # absorb one-time session/executor warm-up with a REAL pipeline
