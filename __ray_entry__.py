@@ -1533,6 +1533,49 @@ def q_keyword_presence(sf_dir: str):
                             ["join", "filter", "hash", "sort"])
 
 
+def q_event_hist_keywords(sf_dir: str):
+    """Folded gate entry (r4 fold #6, same slot economy as
+    q_ngram_frequencies): event_value_histogram + keyword_presence
+    tagged into one (kind, key, count) union to free a slot for
+    lang_source_crosstab at the 50-entry cap. Both component
+    callables stay importable; the oracle is the two unchanged SQL
+    twins merged with UNION ALL and matching casts."""
+
+    def tag_hist(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array([1] * len(t), pa.int32()),
+            "key": pc.cast(t["bin"], pa.string()),
+            "count": pc.cast(t["count"], pa.int64()),
+        })
+
+    def tag_kw(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array([2] * len(t), pa.int32()),
+            "key": t["keyword"],
+            "count": pc.cast(t["hits"], pa.int64()),
+        })
+
+    hist = q_event_value_histogram(sf_dir).map_batches(
+        tag_hist, batch_format="pyarrow")
+    kw = q_keyword_presence(sf_dir).map_batches(
+        tag_kw, batch_format="pyarrow")
+    return hist.union(kw)
+
+
+def q_lang_source_crosstab(sf_dir: str):
+    """Distributed contingency table over documents (lang x source)
+    with margins — the PIVOT / conditional-aggregation reshape
+    operator. The shuffle moves per-batch (lang, source, n) partials;
+    the driver holds only the 6x21 pivoted result. col_values pinned
+    so the output schema matches the static SQL twin."""
+    from raylink.reshape import crosstab_counts
+
+    docs = _t(sf_dir, "documents", ["lang", "source"])
+    return crosstab_counts(docs, "lang", "source",
+                           col_values=[f"src{i}" for i in range(20)],
+                           margins=True)
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed ANN (coarse k-means centroids, n_probe lists) for
     the same 3 query vectors as knn_bruteforce — the scale path where
@@ -1662,8 +1705,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "embedding_near_dup": q_embedding_near_dup,
         "parts_signature": q_parts_signature,
-        "event_value_histogram": q_event_value_histogram,
-        "keyword_presence": q_keyword_presence,
+        # r4 fold #6: event_value_histogram + keyword_presence tagged
+        # into one union row, freeing a slot for lang_source_crosstab.
+        "event_hist_keywords": q_event_hist_keywords,
+        "lang_source_crosstab": q_lang_source_crosstab,
         # doc_fingerprints (rows-only rolling-hash fingerprints) yields
         # its slot to the SQL-oracled band join; the fingerprint kernel
         # stays covered by pytest (test_textstats) and q_doc_fingerprints
@@ -1677,6 +1722,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _STOP_PAT = r"\b(?:" + "|".join(STOPWORDS_EN) + r")\b"
+
+
+def _crosstab_sql() -> str:
+    """Generated PIVOT twin for lang_source_crosstab: one
+    SUM(CASE ...) column per pinned source value plus total, with an
+    '__all__' margins row summed from the per-lang rows."""
+    srcs = [f"src{i}" for i in range(20)]
+    cols = ",\n              ".join(
+        f"CAST(SUM(CASE WHEN source='{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{s}" for s in srcs)
+    names = ", ".join(f"n_{s}" for s in srcs)
+    sums = ", ".join(f"CAST(SUM(n_{s}) AS BIGINT) AS n_{s}"
+                     for s in srcs)
+    return f"""
+        WITH base AS (
+          SELECT lang,
+              {cols},
+              COUNT(*) AS total
+          FROM documents GROUP BY lang
+        )
+        SELECT lang, {names}, CAST(total AS BIGINT) AS total FROM base
+        UNION ALL
+        SELECT '__all__' AS lang, {sums},
+               CAST(SUM(total) AS BIGINT) AS total
+        FROM base
+    """
 
 
 def _lang_counts_sql() -> str:
@@ -2539,21 +2610,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.nll_e6, 0) AS BIGINT) AS nll_e6
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
-        "event_value_histogram": """
-            SELECT CAST(FLOOR(value / 20.0) AS INTEGER) AS bin,
-                   COUNT(*) AS count
+        # r4 fold #6: the event_value_histogram and keyword_presence
+        # twins merged as a tagged UNION ALL
+        "event_hist_keywords": r"""
+            SELECT 1 AS kind,
+                   CAST(CAST(FLOOR(value / 20.0) AS INTEGER) AS VARCHAR)
+                     AS key,
+                   CAST(COUNT(*) AS BIGINT) AS count
             FROM events WHERE value >= 0 AND value < 100
-            GROUP BY bin
-        """,
-        "keyword_presence": r"""
-            SELECT kw AS keyword,
+            GROUP BY FLOOR(value / 20.0)
+            UNION ALL
+            SELECT 2 AS kind, kw AS key,
               CAST(SUM(len(regexp_extract_all(text, '\b' || kw || '\b')))
-                   AS BIGINT) AS hits
+                   AS BIGINT) AS count
             FROM documents
             CROSS JOIN (SELECT unnest(['join','filter','hash','sort'])
                         AS kw) kws
             GROUP BY kw
         """,
+        # conditional-aggregation PIVOT twin of crosstab_counts; the
+        # source values are pinned in BOTH the Ray query (col_values)
+        # and here, so the schemas match by construction
+        "lang_source_crosstab": _crosstab_sql(),
         # folded per-row text-stats oracle: the doc_token_counts,
         # doc_quality_score and doc_lang_id SQL twins merged into one
         # SELECT (r4 fold #5)

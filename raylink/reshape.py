@@ -82,3 +82,64 @@ def unnest_struct(ds, col: str, prefix: str | None = None):
         return unnest_struct_table(batch, col, prefix)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def crosstab_counts(ds, row_col: str, col_col: str,
+                    col_values: list | None = None,
+                    margins: bool = False, all_label: str = "__all__"):
+    """Distributed contingency table (pandas ``crosstab`` / SQL
+    conditional-aggregation PIVOT): one row per ``row_col`` value,
+    one ``n_<v>`` int64 column per ``col_col`` value, plus ``total``;
+    ``margins=True`` appends an ``all_label`` row of column sums.
+
+    Shape at scale: per-batch Arrow hash pre-aggregation (the shuffle
+    moves one row per (row, col) pair per batch, never raw rows), one
+    global two-key groupby-Sum, then a driver pivot of the AGGREGATED
+    result — which is exactly the operator's own output size
+    (distinct(row) x distinct(col)), so collecting it is the contract,
+    not a scale leak. Pass ``col_values`` to pin the output schema
+    independent of which values a given input happens to contain
+    (unseen values become all-zero columns; extra values error).
+    Returns a pandas DataFrame sorted by ``row_col``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (batch.select([row_col, col_col])
+               .group_by([row_col, col_col])
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns([row_col, col_col, "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([row_col, col_col]).sum("n")
+        .to_pandas()
+    )
+    ncol = "sum(n)" if "sum(n)" in agg.columns else "n"
+    pivot = agg.pivot_table(index=row_col, columns=col_col,
+                            values=ncol, aggfunc="sum", fill_value=0)
+    seen = list(pivot.columns)
+    if col_values is None:
+        col_values = sorted(seen)
+    else:
+        extra = set(seen) - set(col_values)
+        if extra:
+            raise ValueError(
+                f"crosstab_counts: input contains {col_col} values not "
+                f"in col_values: {sorted(extra)}")
+    out = pd.DataFrame({row_col: pivot.index.to_list()})
+    for v in col_values:
+        out[f"n_{v}"] = (
+            pivot[v].to_numpy() if v in pivot.columns else 0)
+        out[f"n_{v}"] = out[f"n_{v}"].astype("int64")
+    out["total"] = out[[f"n_{v}" for v in col_values]].sum(axis=1)
+    out = out.sort_values(row_col, kind="mergesort").reset_index(
+        drop=True)
+    if margins:
+        sums = {row_col: all_label}
+        for c in out.columns[1:]:
+            sums[c] = int(out[c].sum())
+        out = pd.concat([out, pd.DataFrame([sums])],
+                        ignore_index=True)
+    return out

@@ -81,3 +81,58 @@ def test_reshape_contracts():
         unnest_struct_table(st_tbl, "parts")
     with pytest.raises(ValueError, match="not a struct"):
         unnest_struct_table(tbl, "tokens")
+
+
+def test_crosstab_counts_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.reshape import crosstab_counts
+
+    rows = [{"lang": ["en", "de", "fr"][i % 3],
+             "source": f"s{i % 4}"} for i in range(97)]
+    ds = rd.from_items(rows).repartition(5)
+    vals = [f"s{i}" for i in range(4)]
+    got = crosstab_counts(ds, "lang", "source", col_values=vals,
+                          margins=True)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN source='{v}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{v}" for v in vals)
+    names = ", ".join(f"n_{v}" for v in vals)
+    sums = ", ".join(f"CAST(SUM(n_{v}) AS BIGINT) AS n_{v}"
+                     for v in vals)
+    sql = f"""
+    WITH base AS (
+      SELECT lang, {cols}, COUNT(*) AS total FROM t GROUP BY lang
+    )
+    SELECT lang, {names}, CAST(total AS BIGINT) AS total FROM base
+    UNION ALL
+    SELECT '__all__' AS lang, {sums}, CAST(SUM(total) AS BIGINT) AS total
+    FROM base
+    """
+    sql = f"SELECT * FROM ({sql}) ORDER BY (lang = '__all__'), lang"
+
+    exp = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_crosstab_counts_pinned_schema_and_errors():
+    import pytest
+    import ray.data as rd
+
+    from raylink.reshape import crosstab_counts
+
+    ds = rd.from_items([{"a": "x", "b": "p"}, {"a": "y", "b": "p"}])
+    # pinned col_values add an all-zero column for an unseen value
+    out = crosstab_counts(ds, "a", "b", col_values=["p", "q"])
+    assert list(out.columns) == ["a", "n_p", "n_q", "total"]
+    assert out["n_q"].tolist() == [0, 0]
+    assert out["total"].tolist() == [1, 1]
+    # a value outside the pinned schema fails loudly
+    ds2 = rd.from_items([{"a": "x", "b": "p"}, {"a": "y", "b": "q"}])
+    with pytest.raises(ValueError, match="not\\s+in col_values"):
+        crosstab_counts(ds2, "a", "b", col_values=["p"])
