@@ -143,3 +143,153 @@ def add_fingerprint(ds, text_col: str, out_col: str = "fingerprint",
             out_col, pa.array(fps, pa.uint64()))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --- TF-IDF top-k keyword extraction -------------------------------
+#
+# Per-doc keyword extraction with the same exactness contract as
+# raylink/lm.py: idf_e6 = floor(1e6 * ln(N / df)) is precomputed ONCE
+# over the document-frequency table with math.log (bit-equal to DuckDB
+# ln, measured), per-term score = tf * idf_e6 is exact int64, and the
+# per-doc top-k orders by (score DESC, term ASC) — fully deterministic
+# and hash-checkable against a SQL window-function twin.
+#
+# Shape at scale: the df table is one pre-aggregated count shuffle
+# (per-batch per-DOC distinct, so the shuffle moves (term, partial
+# distinct-doc count) rows); the collect is bounded by MAX_DF_ENTRIES
+# and prunable with min_df (mirrored as a HAVING clause in the twin);
+# scoring broadcasts the idf dict via ray.put and runs per batch as
+# C-level pandas groupby/map/sort — a doc's rows never leave their
+# batch, so no second shuffle.
+
+MAX_DF_ENTRIES = 2_000_000
+
+
+def document_frequencies(ds, text_col: str, min_df: int = 1):
+    """(token, df) Dataset: df = number of distinct docs containing
+    the token (lowercase whitespace tokens, empties dropped)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        s = pc.utf8_lower(s)
+        split = pc.utf8_split_whitespace(s)
+        toks = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        mask = pc.greater(pc.utf8_length(toks), 0)
+        t = pa.table({"token": toks.filter(mask),
+                      "doc": parent.filter(mask)})
+        # distinct (token, doc) within the batch == distinct within
+        # each doc (a doc is one row, never split across batches)
+        dd = t.group_by(["token", "doc"]).aggregate([])
+        agg = dd.group_by("token").aggregate([([], "count_all")])
+        return agg.rename_columns(["token", "n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="df")))
+    if min_df > 1:
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["df"],
+                                             pa.scalar(min_df)))
+        out = out.map_batches(prune, batch_format="pyarrow")
+    return out
+
+
+def fit_idf(ds, text_col: str, min_df: int = 1):
+    """Bounded driver collect of the df table -> broadcast-ready
+    {token: idf_e6} dict plus the doc count N."""
+    import math
+
+    import ray
+
+    n_docs = ds.count()
+    m = document_frequencies(ds, text_col, min_df=min_df).materialize()
+    n = m.count()
+    if n > MAX_DF_ENTRIES:
+        raise ValueError(
+            f"fit_idf: df table has {n} entries > MAX_DF_ENTRIES="
+            f"{MAX_DF_ENTRIES}; raise min_df (mirrored as HAVING in "
+            f"the SQL twin)")
+    df = m.to_pandas()
+    idf = {
+        t: math.floor(1e6 * math.log(n_docs / int(d)))
+        for t, d in zip(df["token"].tolist(), df["df"].tolist())
+    }
+    return ray.put({"idf_e6": idf, "n_docs": n_docs})
+
+
+class TopKeywords:
+    """Actor-pool stage: per-doc top-k TF-IDF keywords. idf table
+    loads once per actor from the object store."""
+
+    def __init__(self, idf_ref, text_col: str, id_col: str, k: int):
+        import ray
+
+        bundle = ray.get(idf_ref) if isinstance(
+            idf_ref, ray.ObjectRef) else idf_ref
+        self.idf = bundle["idf_e6"]
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        doc_idx: list[int] = []
+        toks: list[str] = []
+        for i, t in enumerate(texts):
+            for w in (t or "").lower().split():
+                doc_idx.append(i)
+                toks.append(w)
+        id_type = batch.schema.field(self.id_col).type
+        if not toks:
+            return pa.table({
+                self.id_col: pa.array([], id_type),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "score_e6": pa.array([], pa.int64()),
+            })
+        df = pd.DataFrame({"d": np.asarray(doc_idx, np.int64),
+                           "w": pd.Series(toks, dtype=object)})
+        tf = df.groupby(["d", "w"], sort=False).size().reset_index(
+            name="tf")
+        idf = tf["w"].map(self.idf)
+        keep = idf.notna().to_numpy()
+        tf = tf[keep]
+        score = (tf["tf"].to_numpy(dtype=np.int64)
+                 * idf.to_numpy(dtype=np.float64)[keep].astype(np.int64))
+        tf = tf.assign(score_e6=score)
+        tf = tf.sort_values(["d", "score_e6", "w"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        rank = tf.groupby("d", sort=False).cumcount() + 1
+        tf = tf[rank.to_numpy() <= self.k]
+        rank = rank[rank <= self.k]
+        out_ids = pa.array([ids[i] for i in tf["d"]], id_type)
+        return pa.table({
+            self.id_col: out_ids,
+            "rank": pa.array(rank.to_numpy(dtype=np.int64)),
+            "term": pa.array(tf["w"].tolist(), pa.string()),
+            "score_e6": pa.array(tf["score_e6"].to_numpy(
+                dtype=np.int64)),
+        })
+
+
+def top_keywords(ds, text_col: str, id_col: str, k: int = 5,
+                 min_df: int = 1, concurrency: int = 4,
+                 batch_size: int = 4096):
+    """Per-doc top-k TF-IDF keywords: (id, rank, term, score_e6)."""
+    ref = fit_idf(ds, text_col, min_df=min_df)
+    return ds.map_batches(
+        TopKeywords,
+        fn_constructor_args=(ref, text_col, id_col, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
