@@ -193,3 +193,56 @@ def keyword_presence(ds, text_col: str, keywords: list[str]):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("keyword").aggregate(
         Sum("hits", alias_name="hits"))
+
+
+def group_percentiles(ds, group_col: str, value_col: str,
+                      qs: tuple = (0.25, 0.5, 0.75),
+                      num_buckets: int = 64):
+    """EXACT per-group order statistics (discrete-percentile
+    semantics: the k-th smallest value with k = ceil(q * n), nulls
+    excluded) — the exact complement to :func:`approx_quantiles`.
+
+    One hash-bucket co-shuffle (groups -> <= num_buckets buckets, the
+    same shape as ranking.top_k_per_group), then a vectorized
+    sort+take per bucket; the selected value is an order statistic,
+    so tie order inside a group cannot change the result. Output: one
+    row per group with a ``p<q>`` column per requested quantile.
+    The SQL twin is a row_number() window over (group, value) picking
+    rn = CEIL(q * n) — bit-identical by construction."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from raylink.ranking import _with_group_bucket
+
+    cols = {f"p{int(q * 100)}": q for q in qs}
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if group_col not in g.columns or len(g) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype="float64") for c in cols}})
+        g = g[g[value_col].notna()]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype="float64") for c in cols}})
+        g = g.sort_values([group_col, value_col], kind="mergesort")
+        grp = g.groupby(group_col, sort=False, dropna=False)
+        sizes = grp.size()
+        starts = np.concatenate(
+            ([0], np.cumsum(sizes.to_numpy())[:-1]))
+        vals = g[value_col].to_numpy()
+        out = {group_col: sizes.index.to_numpy()}
+        for name, q in cols.items():
+            k = np.ceil(q * sizes.to_numpy()).astype(np.int64)
+            k = np.maximum(k, 1)
+            out[name] = vals[starts + k - 1]
+        return pd.DataFrame(out)
+
+    return (
+        _with_group_bucket(ds, group_col, num_buckets)
+        .groupby("_rb")
+        .map_groups(bucket, batch_format="pandas")
+    )

@@ -629,3 +629,66 @@ def spatial_self_join(ds, id_col: str, radius_km: float,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("_sb").map_groups(
         merge_bucket, batch_format="pyarrow")
+
+
+def _setop(left, right, keep_l: int, keep_r: int,
+           on: list[str] | None = None, num_buckets: int = 64):
+    """Shared engine for SQL set operations with DISTINCT semantics.
+    Tags each side, pre-aggregates DISTINCT rows + side flags per
+    batch (the shuffle moves at most one row per distinct key per
+    batch per side), hash-buckets on the combined key (Ray's
+    sort-based multi-key groupby cannot order NULL string keys), then
+    resolves per-side presence per bucket with a vectorized pandas
+    groupby. NULL keys compare equal, as in SQL set operations.
+    ``keep_l``/``keep_r`` are the required presence flags (1 = must
+    be present on that side, 0 = must be absent)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = on or [c for c in _pa_schema(left).names
+                  if c in set(_pa_schema(right).names)]
+    if not cols:
+        raise ValueError("set operation: no common columns")
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            d = batch.select(cols).group_by(cols).aggregate([])
+            df = d.to_pandas()
+            hb = np.zeros(len(df), np.uint64)
+            for c in cols:
+                hb = hb * np.uint64(1099511628211) + pd.util.hash_array(
+                    df[c].to_numpy(), categorize=False)
+            out = d.append_column(
+                "_sl", pa.array([1 - side] * len(d), pa.int8())
+            ).append_column(
+                "_sr", pa.array([side] * len(d), pa.int8()))
+            return out.append_column(
+                "_sb", pa.array((hb % np.uint64(num_buckets)).astype(
+                    np.int32)))
+        return f
+
+    both = (left.map_batches(tag(0), batch_format="pyarrow")
+            .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or cols[0] not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in cols})
+        agg = g.groupby(cols, sort=False, dropna=False)[
+            ["_sl", "_sr"]].max().reset_index()
+        mask = (agg["_sl"] == keep_l) & (agg["_sr"] == keep_r)
+        return agg[mask][cols]
+
+    return (both.groupby("_sb")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+def intersect_distinct(left, right, on: list[str] | None = None):
+    """SQL INTERSECT: distinct rows present on BOTH sides (over ``on``
+    columns, default = the common columns)."""
+    return _setop(left, right, keep_l=1, keep_r=1, on=on)
+
+
+def except_distinct(left, right, on: list[str] | None = None):
+    """SQL EXCEPT: distinct left rows absent from the right side."""
+    return _setop(left, right, keep_l=1, keep_r=0, on=on)

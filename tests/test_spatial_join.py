@@ -122,3 +122,51 @@ def test_spatial_join_contracts():
                       "lon": [1.0, 2.0]})
     with pytest.raises(Exception, match="outside"):
         spatial_self_join(rd.from_arrow(polar), "id", 5.0).materialize()
+
+
+# --- set operations (INTERSECT / EXCEPT) ---------------------------
+
+def test_set_ops_match_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.joins import except_distinct, intersect_distinct
+
+    lrows = [{"a": i % 7, "b": ["x", "y", None][i % 3]}
+             for i in range(50)]
+    rrows = [{"a": i % 5, "b": ["x", None][i % 2]}
+             for i in range(30)]
+    lds = rd.from_items(lrows).repartition(4)
+    rds = rd.from_items(rrows).repartition(3)
+
+    def canon(df):
+        df = df.copy()
+        df["b"] = df["b"].fillna("<null>")
+        return (df.sort_values(["a", "b"]).reset_index(drop=True)
+                [["a", "b"]])
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows))
+    con.register("r", pd.DataFrame(rrows))
+    for fn, op in ((intersect_distinct, "INTERSECT"),
+                   (except_distinct, "EXCEPT")):
+        got = canon(fn(lds, rds).to_pandas())
+        exp = canon(con.execute(
+            f"SELECT a, b FROM l {op} SELECT a, b FROM r").fetchdf())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_set_ops_key_subset_and_errors():
+    import pytest
+    import ray.data as rd
+
+    from raylink.joins import _setop, intersect_distinct
+
+    lds = rd.from_items([{"k": 1, "extra": "a"}, {"k": 2, "extra": "b"}])
+    rds = rd.from_items([{"k": 2, "other": 9}])
+    out = intersect_distinct(lds, rds, on=["k"]).to_pandas()
+    assert out["k"].tolist() == [2]
+    with pytest.raises(ValueError, match="no common columns"):
+        intersect_distinct(
+            rd.from_items([{"x": 1}]), rd.from_items([{"y": 1}]))
