@@ -53,8 +53,6 @@ import pyarrow.compute as pc
 
 import ray
 
-from raylink.eda import ngram_frequencies, token_frequencies
-
 # model-size bound for the driver collect (unigrams + kept bigrams).
 # ~2M entries ~ a few hundred MB of Python dict — loud failure beyond,
 # with the documented remedy (raise min_count) in the message.
@@ -95,36 +93,64 @@ class BigramLM:
         return self
 
 
-def _collect_bounded(ds, key_col: str, what: str) -> pd.DataFrame:
-    """Materialize an already-aggregated (small) count table and
-    collect it to the driver, refusing loudly above the bound."""
-    m = ds.materialize()
+def fit_bigram_lm(ds, text_col: str, min_count: int = 2) -> BigramLM:
+    """Distributed fit in ONE pre-aggregated count shuffle: per batch,
+    unigram (kind 1) and bigram (kind 2) partial counts are emitted
+    tagged into the same (kind, gram, n) table, so a single two-key
+    groupby-Sum resolves both (measured: the original two serial
+    count pipelines spent most of doc_perplexity's wall on duplicated
+    executor/shuffle fixed costs at micro scale). The min_count prune
+    (kind 2 only) runs distributed BEFORE the bounded driver
+    collect."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        kinds: list[int] = []
+        grams: list[str] = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            kinds.extend([1] * len(toks))
+            grams.extend(toks)
+            kinds.extend([2] * max(len(toks) - 1, 0))
+            grams.extend(toks[j] + " " + toks[j + 1]
+                         for j in range(len(toks) - 1))
+        if not grams:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             "gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"kind": pa.array(kinds, pa.int8()),
+                      "gram": pa.array(grams, pa.string())})
+        agg = t.group_by(["kind", "gram"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["kind", "gram", "n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["kind", "gram"])
+              .aggregate(Sum("n", alias_name="count")))
+
+    def prune(t: pa.Table) -> pa.Table:
+        if min_count <= 1:
+            return t
+        keep = pc.or_(pc.equal(t["kind"], pa.scalar(1, pa.int8())),
+                      pc.greater_equal(t["count"],
+                                       pa.scalar(min_count)))
+        return t.filter(keep)
+
+    m = counts.map_batches(prune, batch_format="pyarrow").materialize()
     n = m.count()
     if n > MAX_MODEL_ENTRIES:
         raise ValueError(
-            f"bigram-LM fit: {what} table has {n} entries > "
+            f"bigram-LM fit: count table has {n} entries > "
             f"MAX_MODEL_ENTRIES={MAX_MODEL_ENTRIES}; raise min_count "
             f"(the SQL twin mirrors it as a HAVING clause) or shard "
             f"the model")
-    return m.to_pandas()
-
-
-def fit_bigram_lm(ds, text_col: str, min_count: int = 2) -> BigramLM:
-    """Distributed fit: two pre-aggregated count shuffles + a
-    distributed min_count prune, then a bounded driver collect."""
-    uni_df = _collect_bounded(
-        token_frequencies(ds, text_col), "token", "unigram")
-    bi_ds = ngram_frequencies(ds, text_col, 2)
-    if min_count > 1:
-        def prune(t: pa.Table) -> pa.Table:
-            return t.filter(pc.greater_equal(t["count"],
-                                             pa.scalar(min_count)))
-        bi_ds = bi_ds.map_batches(prune, batch_format="pyarrow")
-    bi_df = _collect_bounded(bi_ds, "ngram", "bigram")
-    uni = dict(zip(uni_df["token"].tolist(),
-                   (int(c) for c in uni_df["count"].tolist())))
-    bi = dict(zip(bi_df["ngram"].tolist(),
-                  (int(c) for c in bi_df["count"].tolist())))
+    df = m.to_pandas()
+    is_uni = (df["kind"] == 1).to_numpy()
+    uni = dict(zip(df["gram"][is_uni].tolist(),
+                   (int(c) for c in df["count"][is_uni].tolist())))
+    bi = dict(zip(df["gram"][~is_uni].tolist(),
+                  (int(c) for c in df["count"][~is_uni].tolist())))
     return BigramLM(vocab_size=len(uni), min_count=min_count,
                     uni=uni, bi=bi).build_lp_tables()
 

@@ -143,3 +143,33 @@ def crosstab_counts(ds, row_col: str, col_col: str,
         out = pd.concat([out, pd.DataFrame([sums])],
                         ignore_index=True)
     return out
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Wide-to-long unpivot (SQL UNPIVOT / pandas ``melt``), the
+    inverse reshape of :func:`crosstab_counts`: each input row emits
+    one output row per entry in ``value_cols``, carrying ``id_cols``,
+    the source column name in ``var_name`` and its value in
+    ``value_name``. Pure per-batch Arrow concat — no shuffle, no
+    Python row loop; streams at any scale. Value columns must share
+    one Arrow type (cast upstream otherwise — silent casts here would
+    hide precision loss)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        types = {str(batch.schema.field(c).type) for c in value_cols}
+        if len(types) > 1:
+            raise ValueError(
+                f"melt: value_cols mix Arrow types {sorted(types)}; "
+                f"cast them to one type first")
+        pieces = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in id_cols}
+            cols[var_name] = pa.array([c] * len(batch), pa.string())
+            cols[value_name] = batch.column(c)
+            pieces.append(pa.table(cols))
+        if not pieces:
+            return pa.table({k: batch.column(k) for k in id_cols})
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

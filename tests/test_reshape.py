@@ -136,3 +136,32 @@ def test_crosstab_counts_pinned_schema_and_errors():
     ds2 = rd.from_items([{"a": "x", "b": "p"}, {"a": "y", "b": "q"}])
     with pytest.raises(ValueError, match="not\\s+in col_values"):
         crosstab_counts(ds2, "a", "b", col_values=["p"])
+
+
+def test_melt_matches_duckdb_unpivot():
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from raylink.reshape import melt
+
+    rows = [{"id": i, "a": float(i), "b": float(i * 2),
+             "c": None if i % 3 == 0 else float(i * 3)}
+            for i in range(40)]
+    ds = rd.from_items(rows).repartition(4)
+    got = (melt(ds, ["id"], ["a", "b", "c"])
+           .to_pandas()
+           .sort_values(["id", "variable"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    exp = con.execute("""
+    SELECT id, variable, value
+    FROM t UNPIVOT INCLUDE NULLS (value FOR variable IN (a, b, c))
+    ORDER BY id, variable
+    """).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # mixed-type value columns fail loudly instead of silently casting
+    ds2 = rd.from_items([{"id": 1, "x": 1, "y": "s"}])
+    with pytest.raises(Exception, match="mix Arrow types"):
+        melt(ds2, ["id"], ["x", "y"]).materialize()
