@@ -26,12 +26,14 @@ from .blocks import dataset_schema as _pa_schema
 from .ranking import _with_group_bucket
 
 _AGGS = ("cumsum", "cumcount", "cummax", "cummin")
+_RANKS = ("row_number", "rank", "dense_rank", "percent_rank")
 
 
 def windowed(ds, key_col: str, order_col: str,
              lag_cols: dict[str, str] | None = None,
              lead_cols: dict[str, str] | None = None,
              cum_aggs: dict[str, tuple[str, str]] | None = None,
+             rank_aggs: dict[str, str] | None = None,
              tiebreak_col: str | None = None,
              num_buckets: int = 64):
     """Append windowed columns per ``key_col`` partition ordered by
@@ -44,14 +46,26 @@ def windowed(ds, key_col: str, order_col: str,
       ``cumsum | cumcount | cummax | cummin`` — SQL running aggregates
       over ``ROWS UNBOUNDED PRECEDING`` (cumcount is ``row_number()-1``
       and ignores ``src_col``).
+    - ``rank_aggs`` {out_name: kind} with kind in ``row_number | rank
+      | dense_rank | percent_rank`` over ``order_col`` — SQL ranking
+      functions. Ties follow SQL semantics (shared rank; gaps for
+      ``rank``, none for ``dense_rank``); ``row_number`` needs a
+      ``tiebreak_col`` to be deterministic under ties. ``order_col``
+      values must be non-null for rank parity with SQL.
 
     Output: input columns + the requested columns; row order is
     unspecified (a set, like every shuffle output here)."""
     lag_cols = dict(lag_cols or {})
     lead_cols = dict(lead_cols or {})
     cum_aggs = dict(cum_aggs or {})
-    if not (lag_cols or lead_cols or cum_aggs):
+    rank_aggs = dict(rank_aggs or {})
+    if not (lag_cols or lead_cols or cum_aggs or rank_aggs):
         raise ValueError("windowed: nothing requested")
+    for out, kind in rank_aggs.items():
+        if kind not in _RANKS:
+            raise ValueError(
+                f"windowed: unknown rank kind {kind!r} for {out!r} "
+                f"(supported: {', '.join(_RANKS)})")
     for out, (_src, agg) in cum_aggs.items():
         if agg not in _AGGS:
             raise ValueError(
@@ -59,7 +73,8 @@ def windowed(ds, key_col: str, order_col: str,
                 f"(supported: {', '.join(_AGGS)})")
     schema = _pa_schema(ds)
     cols = list(schema.names)
-    clash = (set(lag_cols) | set(lead_cols) | set(cum_aggs)) & set(cols)
+    clash = (set(lag_cols) | set(lead_cols) | set(cum_aggs)
+             | set(rank_aggs)) & set(cols)
     if clash:
         raise ValueError(
             f"windowed: output column(s) {sorted(clash)} already exist "
@@ -71,7 +86,7 @@ def windowed(ds, key_col: str, order_col: str,
         if key_col not in g.columns or len(g) == 0:
             out = schema.empty_table().to_pandas()
             for name in (set(lag_cols) | set(lead_cols)
-                         | set(cum_aggs)):
+                         | set(cum_aggs) | set(rank_aggs)):
                 out[name] = pd.Series(dtype="float64")
             return out
         g = g.sort_values(sort_cols, kind="mergesort")
@@ -86,6 +101,20 @@ def windowed(ds, key_col: str, order_col: str,
                 g[out] = grp.cumcount()
             else:
                 g[out] = getattr(grp[src], agg)()
+        for out, kind in rank_aggs.items():
+            if kind == "row_number":
+                g[out] = (grp.cumcount() + 1).astype("int64")
+            elif kind == "rank":
+                g[out] = grp[order_col].rank(method="min").astype(
+                    "int64")
+            elif kind == "dense_rank":
+                g[out] = grp[order_col].rank(method="dense").astype(
+                    "int64")
+            else:  # percent_rank = (rank - 1) / (n - 1), 0 if n == 1
+                r = grp[order_col].rank(method="min").to_numpy()
+                n = grp[order_col].transform("size").to_numpy()
+                g[out] = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1),
+                                  0.0)
         return g.drop(columns=["_rb"], errors="ignore")
 
     return (

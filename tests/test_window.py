@@ -82,3 +82,50 @@ def test_windowed_contracts(ray_session):
         windowed(ds, "user", "ts", cum_aggs={"x": ("value", "cummean")})
     with pytest.raises(ValueError, match="already exist"):
         windowed(ds, "user", "ts", lag_cols={"value": "value"})
+
+
+def test_rank_functions_match_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.window import windowed
+
+    rows = [{"k": f"k{i % 4}", "ts": (i * 7) % 10, "id": i}
+            for i in range(80)]  # ts collides -> real tie coverage
+    ds = rd.from_items(rows).repartition(5)
+    got = (
+        windowed(ds, "k", "ts",
+                 rank_aggs={"rn": "row_number", "rk": "rank",
+                            "dr": "dense_rank", "pr": "percent_rank"},
+                 tiebreak_col="id")
+        .to_pandas().sort_values(["k", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    exp = con.execute("""
+    SELECT k, ts, id,
+      row_number()  OVER w2 AS rn,
+      rank()         OVER w AS rk,
+      dense_rank()   OVER w AS dr,
+      percent_rank() OVER w AS pr
+    FROM t
+    WINDOW w  AS (PARTITION BY k ORDER BY ts),
+           w2 AS (PARTITION BY k ORDER BY ts, id)
+    ORDER BY k, ts, id
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "id", "rn", "rk", "dr", "pr"]], exp,
+        check_dtype=False)
+
+
+def test_rank_kind_validation():
+    import pytest
+    import ray.data as rd
+
+    from raylink.window import windowed
+
+    ds = rd.from_items([{"k": 1, "ts": 1}])
+    with pytest.raises(ValueError, match="unknown rank kind"):
+        windowed(ds, "k", "ts", rank_aggs={"x": "ntile"})
