@@ -50,6 +50,77 @@ def ensure_arrow(ds, schema: pa.Schema | None = None):
     return ray.data.from_arrow_refs(refs)
 
 
+_NULL_HASH = 0x9E3779B97F4A7C15  # fixed hash for NULL, any dtype
+
+
+def stable_hash_array(col) -> "np.ndarray":
+    """Deterministic uint64 hash per element of an Arrow array /
+    chunked array, INVARIANT to which other elements share the batch.
+
+    The naive ``pd.util.hash_array(col.to_numpy())`` is not: an int64
+    batch containing any NULL converts to float64 (NaN) on the way to
+    numpy, and pandas hashes 5 (int64) and 5.0 (float64) differently —
+    so the same key lands in different hash buckets depending on its
+    batch-mates, silently splitting one group across bucket resolves
+    (code-review r4; reproduced on pandas 2.x / pyarrow 16).
+    Canonicalization: integers/bools hash from a null-FILLED array of
+    their native width (pandas widens any int width to the same u8
+    value-hash, so int32 and int64 agree); temporals hash their int64
+    view; floats hash their own dtype (null->NaN is deterministic and
+    width-stable); everything else hashes as objects. NULL positions
+    are then overwritten with one fixed constant so NULL hashes
+    identically in every dtype and every batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = (col.combine_chunks() if col.num_chunks != 1
+               else col.chunk(0))
+    if isinstance(col, pa.ChunkedArray):  # combine_chunks kept the type
+        col = (col.chunk(0) if col.num_chunks
+               else pa.array([], type=col.type))
+    if len(col) == 0:
+        return np.empty(0, np.uint64)
+    t = col.type
+    null_mask = (pc.is_null(col).to_numpy(zero_copy_only=False)
+                 if col.null_count else None)
+    if pa.types.is_boolean(t):
+        vals = col.fill_null(False).to_numpy(zero_copy_only=False)
+    elif pa.types.is_integer(t):
+        vals = col.fill_null(0).to_numpy(zero_copy_only=False)
+    elif pa.types.is_temporal(t):
+        vals = (col.cast(pa.int64()).fill_null(0)
+                .to_numpy(zero_copy_only=False))
+    elif pa.types.is_floating(t):
+        # nulls become NaN WITHOUT width promotion; NaN hashes
+        # deterministically (and is overwritten below anyway)
+        vals = col.to_numpy(zero_copy_only=False)
+    else:
+        # string / binary / decimal / nested -> object array; pandas
+        # object hashing handles None deterministically
+        vals = col.to_numpy(zero_copy_only=False)
+        if vals.dtype != np.dtype(object):
+            vals = vals.astype(object)
+    h = np.asarray(pd.util.hash_array(vals, categorize=False),
+                   dtype=np.uint64)
+    if null_mask is not None:
+        h[null_mask] = np.uint64(_NULL_HASH)
+    return h
+
+
+def stable_hash_columns(tbl: pa.Table, cols: list[str]) -> "np.ndarray":
+    """Combined uint64 hash over several columns of ``tbl`` (FNV-style
+    fold of :func:`stable_hash_array` per column)."""
+    import numpy as np
+
+    h = np.zeros(tbl.num_rows, np.uint64)
+    fnv = np.uint64(1099511628211)
+    for c in cols:
+        h = h * fnv + stable_hash_array(tbl.column(c))
+    return h
+
+
 def dataset_schema(ds) -> pa.Schema:
     """pyarrow schema of a Dataset, robust to block origin: Arrow-origin
     datasets report pa.DataType entries, but pandas-origin ones report

@@ -213,21 +213,33 @@ def group_percentiles(ds, group_col: str, value_col: str,
 
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
+    from raylink.blocks import dataset_schema
     from raylink.ranking import _with_group_bucket
 
-    cols = {f"p{int(q * 100)}": q for q in qs}
+    # "%g" formatting, NOT int(q*100): binary floats truncate
+    # (int(0.29*100) == 28) and distinct quantiles collide
+    # (0.99 / 0.999 both -> "p99") — code-review r4
+    cols = {f"p{float(q * 100):g}".replace(".", "_"): q for q in qs}
+    if len(cols) != len(qs):
+        raise ValueError(
+            f"group_percentiles: duplicate quantiles in {qs!r}")
+
+    schema = dataset_schema(ds)
+    # empty guard pinned to the REAL output dtypes (group col and the
+    # order-statistic columns keep the input value dtype) — an
+    # object/float64 guard block would conflict with non-empty buckets
+    empty_schema = pa.schema(
+        [schema.field(group_col)]
+        + [schema.field(value_col).with_name(c) for c in cols])
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         if group_col not in g.columns or len(g) == 0:
-            return pd.DataFrame(
-                {group_col: pd.Series([], dtype=object),
-                 **{c: pd.Series([], dtype="float64") for c in cols}})
+            return empty_schema.empty_table().to_pandas()
         g = g[g[value_col].notna()]
         if len(g) == 0:
-            return pd.DataFrame(
-                {group_col: pd.Series([], dtype=object),
-                 **{c: pd.Series([], dtype="float64") for c in cols}})
+            return empty_schema.empty_table().to_pandas()
         g = g.sort_values([group_col, value_col], kind="mergesort")
         grp = g.groupby(group_col, sort=False, dropna=False)
         sizes = grp.size()

@@ -218,7 +218,16 @@ def asof_join(left, right, on: str, by: str,
     dropped (DuckDB's inner ``ASOF JOIN``); True keeps them with null
     right columns (``ASOF LEFT JOIN``) at their DECLARED Arrow types —
     no pandas float64/NaN upcast (value columns never round-trip
-    through pandas, so int64 beyond 2^53, e.g. epoch-ns, stays exact)."""
+    through pandas, so int64 beyond 2^53, e.g. epoch-ns, stays exact).
+
+    Nulls: right rows with a null ``on`` are dropped up front (never
+    selectable). A null ``by`` matches nothing (SQL semantics) —
+    null-keyed rows are split out on the Arrow side before the pandas
+    merge, so an int ``by`` column with nulls never NaN-promotes (keys
+    beyond 2^53 stay exact) and under ``keep_unmatched`` the null-key
+    left rows come back with null right columns. Null LEFT ``on``
+    values are not supported — merge_asof raises on unsortable keys
+    (loud, not silent); filter them upstream."""
     import numpy as np
     import pandas as pd
 
@@ -244,12 +253,21 @@ def asof_join(left, right, on: str, by: str,
             if renames:
                 t = t.rename_columns(
                     [renames.get(c, c) for c in t.column_names])
+            if side == 1:
+                # a right row with a null `on` is never selectable
+                # (SQL: the asof inequality is non-true on NULL);
+                # dropping it here also keeps a null-containing int64
+                # `on` batch from reaching merge_asof as float64
+                t = t.filter(pc.is_valid(t.column(out_on_r)))
             n = t.num_rows
-            hb = np.asarray(
-                pd.util.hash_array(
-                    t.column(by).to_numpy(zero_copy_only=False),
-                    categorize=False) % np.uint64(num_buckets),
-                dtype=np.int32)
+            # stable_hash_array, not hash_array(to_numpy()): an int
+            # `by` batch containing a NULL would otherwise hash its
+            # keys through float64 and split one key across buckets,
+            # silently dropping asof matches (code-review r4)
+            from .blocks import stable_hash_array
+
+            hb = (stable_hash_array(t.column(by))
+                  % np.uint64(num_buckets)).astype(np.int32)
             t = t.append_column("_ab", pa.array(hb))
             t = t.append_column(
                 "_aside", pa.array(np.full(n, side, dtype=np.int8)))
@@ -285,6 +303,18 @@ def asof_join(left, right, on: str, by: str,
         side = g.column("_aside")
         lt = g.filter(pc.equal(side, 0)).select(lcols)
         rt = g.filter(pc.equal(side, 1)).select([by] + rcols_ren)
+        # SQL: a NULL by-key matches nothing — split those rows out on
+        # the ARROW side before the narrow frame, so the pandas `by`
+        # column never NaN-promotes (an int64 by stays int64: exact
+        # beyond 2^53, and merge_asof's same-dtype check passes
+        # instead of rejecting the whole bucket) (code-review r4)
+        null_lt = None
+        if lt.num_rows and lt.column(by).null_count:
+            lmask = pc.is_valid(lt.column(by))
+            null_lt = lt.filter(pc.invert(lmask))
+            lt = lt.filter(lmask)
+        if rt.num_rows and rt.column(by).null_count:
+            rt = rt.filter(pc.is_valid(rt.column(by)))
         import numpy as np
 
         lk = lt.select([by, on]).to_pandas()
@@ -310,10 +340,19 @@ def asof_join(left, right, on: str, by: str,
         ridx = pa.array(np.where(valid, ri, 0).astype(np.int64),
                         mask=~valid)
         rtab = rt.select(rcols_ren).take(ridx)
-        return pa.Table.from_arrays(
+        out = pa.Table.from_arrays(
             [ltab.column(c) for c in lcols]
             + [rtab.column(c) for c in rcols_ren],
             schema=out_schema)
+        if keep_unmatched and null_lt is not None and null_lt.num_rows:
+            # left rows with a NULL by-key are unmatched by definition
+            pad = pa.Table.from_arrays(
+                [null_lt.column(c) for c in lcols]
+                + [pa.nulls(null_lt.num_rows, out_schema.field(c).type)
+                   for c in rcols_ren],
+                schema=out_schema)
+            out = pa.concat_tables([out, pad])
+        return out
 
     return (
         tagged.groupby("_ab")
@@ -372,9 +411,10 @@ def band_join(left, right, on: str, delta, by: str | None = None,
     def bucket_of(bins: "np.ndarray", t: pa.Table) -> "np.ndarray":
         h = bins.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         if by:
-            h = h + pd.util.hash_array(
-                t.column(by).to_numpy(zero_copy_only=False),
-                categorize=False)
+            # stable vs null-driven float64 promotion (code-review r4)
+            from .blocks import stable_hash_array
+
+            h = h + stable_hash_array(t.column(by))
         return (h % np.uint64(num_buckets)).astype(np.int32)
 
     def pad(t: pa.Table, bins, side: int) -> pa.Table:
@@ -398,12 +438,27 @@ def band_join(left, right, on: str, delta, by: str | None = None,
         return np.floor_divide(v.astype(np.float64),
                                float(delta)).astype(np.int64)
 
+    def drop_null_keys(t: pa.Table, on_name: str) -> pa.Table:
+        """SQL semantics: a NULL in the band column or the equi-key
+        makes the join predicate non-true, so the row cannot match —
+        drop it HERE, on the Arrow side. Letting nulls through would
+        (a) wrongly pair NULL by-keys in the pandas merge (NaN == NaN
+        there), and (b) promote a null-containing int64 band column to
+        float64, corrupting bins beyond 2^53 for the whole batch
+        (code-review r4)."""
+        mask = pc.is_valid(t.column(on_name))
+        if by:
+            mask = pc.and_(mask, pc.is_valid(t.column(by)))
+        return t.filter(mask)
+
     def tag_left(t: pa.Table) -> pa.Table:
+        t = drop_null_keys(t, on)
         v = t.column(on).to_numpy(zero_copy_only=False)
         return pad(t, binned(v), 0)
 
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.rename_columns([ren.get(c, c) for c in t.column_names])
+        t = drop_null_keys(t, ren[on])
         v = t.column(ren[on]).to_numpy(zero_copy_only=False)
         b = binned(v)
         reps = [pad(t, b + off, 1) for off in (-1, 0, 1)]
@@ -638,49 +693,57 @@ def _setop(left, right, keep_l: int, keep_r: int,
     batch (the shuffle moves at most one row per distinct key per
     batch per side), hash-buckets on the combined key (Ray's
     sort-based multi-key groupby cannot order NULL string keys), then
-    resolves per-side presence per bucket with a vectorized pandas
-    groupby. NULL keys compare equal, as in SQL set operations.
-    ``keep_l``/``keep_r`` are the required presence flags (1 = must
-    be present on that side, 0 = must be absent)."""
+    resolves per-side presence per bucket with an Arrow hash group-by
+    — NEVER through pandas, whose int64->float64 null promotion would
+    corrupt key values above 2^53 (code-review r4). The bucket hash is
+    blocks.stable_hash_columns for the same reason: hashing a
+    ``to_numpy()`` view sent the same int key to different buckets
+    depending on whether its batch held a NULL, silently breaking
+    INTERSECT/EXCEPT. NULL keys compare equal, as in SQL set
+    operations. ``keep_l``/``keep_r`` are the required presence flags
+    (1 = must be present on that side, 0 = must be absent)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .blocks import stable_hash_columns
 
     cols = on or [c for c in _pa_schema(left).names
                   if c in set(_pa_schema(right).names)]
     if not cols:
         raise ValueError("set operation: no common columns")
+    lschema = _pa_schema(left)
+    # one pinned key schema (the left side's types); the right side
+    # casts into it so int32-vs-int64 sides union cleanly instead of
+    # poisoning the shuffle with mixed block schemas
+    key_schema = pa.schema([lschema.field(c) for c in cols])
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
-            d = batch.select(cols).group_by(cols).aggregate([])
-            df = d.to_pandas()
-            hb = np.zeros(len(df), np.uint64)
-            for c in cols:
-                hb = hb * np.uint64(1099511628211) + pd.util.hash_array(
-                    df[c].to_numpy(), categorize=False)
+            d = (batch.select(cols).cast(key_schema)
+                 .group_by(cols).aggregate([]))
+            hb = (stable_hash_columns(d, cols)
+                  % np.uint64(num_buckets)).astype(np.int32)
             out = d.append_column(
                 "_sl", pa.array([1 - side] * len(d), pa.int8())
             ).append_column(
                 "_sr", pa.array([side] * len(d), pa.int8()))
-            return out.append_column(
-                "_sb", pa.array((hb % np.uint64(num_buckets)).astype(
-                    np.int32)))
+            return out.append_column("_sb", pa.array(hb))
         return f
 
     both = (left.map_batches(tag(0), batch_format="pyarrow")
             .union(right.map_batches(tag(1), batch_format="pyarrow")))
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or cols[0] not in g.columns:
-            return pd.DataFrame({c: pd.Series([], dtype=object)
-                                 for c in cols})
-        agg = g.groupby(cols, sort=False, dropna=False)[
-            ["_sl", "_sr"]].max().reset_index()
-        mask = (agg["_sl"] == keep_l) & (agg["_sr"] == keep_r)
-        return agg[mask][cols]
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or cols[0] not in g.column_names:
+            return key_schema.empty_table()
+        agg = g.group_by(cols).aggregate(
+            [("_sl", "max"), ("_sr", "max")])
+        mask = pc.and_(pc.equal(agg.column("_sl_max"), keep_l),
+                       pc.equal(agg.column("_sr_max"), keep_r))
+        return agg.filter(mask).select(cols).cast(key_schema)
 
     return (both.groupby("_sb")
-            .map_groups(resolve, batch_format="pandas"))
+            .map_groups(resolve, batch_format="pyarrow"))
 
 
 def intersect_distinct(left, right, on: list[str] | None = None):

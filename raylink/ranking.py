@@ -40,14 +40,15 @@ from .blocks import dataset_schema as _pa_schema
 
 def _with_group_bucket(ds, group_col: str, num_buckets: int):
     """Append an int32 ``_rb`` hash-bucket column derived from
-    ``group_col`` (pd.util.hash_array: deterministic, any dtype)."""
+    ``group_col`` (blocks.stable_hash_array: deterministic, any dtype,
+    and — unlike hashing ``to_numpy()`` output — invariant to whether
+    OTHER rows of the batch are null, so one group can never split
+    across two buckets; code-review r4)."""
+    from .blocks import stable_hash_array
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        hb = np.asarray(
-            pd.util.hash_array(
-                t.column(group_col).to_numpy(zero_copy_only=False),
-                categorize=False) % np.uint64(num_buckets),
-            dtype=np.int32)
+        hb = (stable_hash_array(t.column(group_col))
+              % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("_rb", pa.array(hb))
 
     return ds.map_batches(add_bucket, batch_format="pyarrow")

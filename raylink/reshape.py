@@ -25,6 +25,12 @@ def explode_table(batch: pa.Table, col: str,
     if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
         raise ValueError(
             f"explode: column {col!r} is {arr.type}, not a list type")
+    if out_col and out_col != col and out_col in batch.column_names:
+        # Arrow happily builds duplicate-named columns; fail here like
+        # unnest_struct does, not at some downstream select (r4 review)
+        raise ValueError(
+            f"explode: output column {out_col!r} already exists "
+            f"— pass a different out_col")
     if keep_empty:
         # null/empty lists -> [null], so every input row survives once
         lens = pc.fill_null(pc.list_value_length(arr), 0)
@@ -100,7 +106,12 @@ def crosstab_counts(ds, row_col: str, col_col: str,
     not a scale leak. Pass ``col_values`` to pin the output schema
     independent of which values a given input happens to contain
     (unseen values become all-zero columns; extra values error).
-    Returns a pandas DataFrame sorted by ``row_col``."""
+    Returns a pandas DataFrame sorted by ``row_col``.
+
+    NULL keys are rejected up front: Ray's sort-based groupby cannot
+    order NULL string keys and pandas pivot_table silently drops NaN
+    index/column groups — either way the result would diverge from a
+    SQL GROUP BY twin, so fill or filter nulls upstream (r4 review)."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
@@ -109,6 +120,13 @@ def crosstab_counts(ds, row_col: str, col_col: str,
         agg = (batch.select([row_col, col_col])
                .group_by([row_col, col_col])
                .aggregate([([], "count_all")]))
+        for c in (row_col, col_col):
+            if agg.column(c).null_count:
+                raise ValueError(
+                    f"crosstab_counts: NULL values in key column "
+                    f"{c!r} — fill_null or filter upstream (NULL "
+                    f"pivot keys have no stable column name and "
+                    f"pandas pivot_table drops them silently)")
         return agg.rename_columns([row_col, col_col, "n"])
 
     agg = (

@@ -22,7 +22,11 @@ hash variant (no 32-bit large-range correction needed; small-range
 linear counting kept). Standard error ~ 1.04 / sqrt(2^p).
 
 Hashing is ``pd.util.hash_array`` (deterministic, fixed key, any
-dtype) — the same primitive every co-shuffle in this repo keys on.
+dtype) — the same primitive every co-shuffle in this repo keys on —
+applied through ``blocks.stable_hash_array`` wherever a batch could
+contain nulls (a null-containing int batch otherwise hashes its
+values through a float64 view, splitting one value across registers
+or buckets; code-review r4).
 """
 
 from __future__ import annotations
@@ -140,8 +144,12 @@ def _estimate_sparse(nnz: np.ndarray, pow_sum: np.ndarray,
     """Vectorized :func:`hll_estimate` from sparse register stats:
     ``nnz`` non-zero registers per group, ``pow_sum`` = sum of
     ``2^-rank`` over them (the ``m - nnz`` zero registers contribute
-    ``2^0 = 1`` each). Bit-identical to the dense path — pytest
-    asserts equality group for group."""
+    ``2^0 = 1`` each). Matches the dense path exactly while every
+    ``2^-rank`` term stays summable inside float64's 53-bit exact
+    window (ranks below ~42, i.e. below ~2^42 distinct values at
+    p=12 — pytest asserts group-for-group equality there); beyond
+    that the two accumulation orders may differ in the last ulp,
+    both remaining valid estimates (code-review r4)."""
     if m >= 128:
         alpha = 0.7213 / (1.0 + 1.079 / m)
     else:
@@ -167,31 +175,35 @@ def hll_count_distinct_by(ds, col: str, by: str, p: int = 12,
     500k groups x 10M rows at 32 CPUs; this one takes ~4 s) -> ONE
     hash-bucket co-shuffle keyed on ``by`` (ranking.py's ``_rb``
     pattern: <= ``num_buckets`` shuffle groups) -> per-bucket C-level
-    pandas max-merge + the vectorized estimate."""
+    pandas max-merge + the vectorized estimate.
+
+    Null handling: null VALUES are ignored (SQL COUNT(DISTINCT)
+    semantics); a null GROUP key is a group like any other (the
+    repo-wide ranking.py convention). Value hashing and the per-batch
+    pre-aggregation stay on the Arrow side — a pandas round-trip
+    would promote a null-containing int64 batch to float64 and hash
+    the same value into two different registers (code-review r4)."""
     _check_p(p)
+    import pyarrow.compute as pc
+
+    from .blocks import stable_hash_array
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "g": t.column(by).to_numpy(zero_copy_only=False),
-            "v": t.column(col).to_numpy(zero_copy_only=False),
-        }).dropna()
-        h = np.asarray(
-            pd.util.hash_array(df["v"].to_numpy(), categorize=False),
-            dtype=np.uint64)
+        t = t.filter(pc.is_valid(t.column(col)))
+        h = stable_hash_array(t.column(col))
         idx, rank = _rho(h, p)
-        sp = (pd.DataFrame({by: df["g"].to_numpy(),
-                            "_hidx": idx.astype(np.int32),
-                            "_hrank": rank})
-              .groupby([by, "_hidx"], sort=False)["_hrank"].max()
-              .reset_index())
-        return pa.Table.from_pandas(sp, preserve_index=False)
+        sp = pa.table({by: t.column(by),
+                       "_hidx": pa.array(idx.astype(np.int32)),
+                       "_hrank": pa.array(rank, pa.uint8())})
+        agg = sp.group_by([by, "_hidx"]).aggregate([("_hrank", "max")])
+        return agg.rename_columns([by, "_hidx", "_hrank"])
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         m = 1 << p
-        sp = (df.groupby([by, "_hidx"], sort=False)["_hrank"].max()
-              .reset_index())
+        sp = (df.groupby([by, "_hidx"], sort=False, dropna=False)
+              ["_hrank"].max().reset_index())
         sp["_w"] = np.exp2(-sp["_hrank"].to_numpy().astype(np.float64))
-        agg = (sp.groupby(by, sort=False)["_w"]
+        agg = (sp.groupby(by, sort=False, dropna=False)["_w"]
                .agg(nnz="count", pow_sum="sum").reset_index())
         agg["approx_distinct"] = _estimate_sparse(
             agg["nnz"].to_numpy(), agg["pow_sum"].to_numpy(), m)
@@ -420,9 +432,12 @@ def frequent_items(ds, col: str, k: int = 256, combine_size: int = 64
     item_type = _pa_schema(ds).field(col).type
 
     def partial(t: pa.Table) -> pa.Table:
+        # drop nulls on the ARROW side: a null-containing int64 batch
+        # otherwise converts to float64, corrupting ids above 2^53 and
+        # merging float-colliding ids (code-review r4)
         vc = pd.Series(
-            t.column(col).to_numpy(zero_copy_only=False)).value_counts(
-                sort=False)  # drops nulls
+            t.column(col).drop_null().to_numpy(
+                zero_copy_only=False)).value_counts(sort=False)
         items, cnts, sub = _mg_trim(
             vc.index.to_numpy(), vc.to_numpy().astype(np.int64), k)
         item_arr = pa.concat_arrays([
@@ -481,7 +496,10 @@ def top_frequent_exact(ds, col: str, m: int, k: int | None = None,
     ref = ray.put(cand_df[col].to_numpy())
 
     def count_part(t: pa.Table) -> pa.Table:
-        s = pd.Series(t.column(col).to_numpy(zero_copy_only=False))
+        # drop_null BEFORE to_numpy — same float64-promotion hazard
+        # as frequent_items.partial (code-review r4)
+        s = pd.Series(t.column(col).drop_null().to_numpy(
+            zero_copy_only=False))
         vc = s[s.isin(ray.get(ref))].value_counts(sort=False)
         return pa.table({
             col: pa.array(vc.index.to_numpy(), type=item_type),

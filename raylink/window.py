@@ -82,12 +82,36 @@ def windowed(ds, key_col: str, order_col: str,
     sort_cols = [key_col, order_col] + (
         [tiebreak_col] if tiebreak_col else [])
 
+    def _added_dtype(name: str):
+        """Dtype a REAL (non-empty) bucket emits for an added column,
+        so the empty-bucket guard cannot poison the block schema with
+        float64 rank columns next to int64 ones (code-review r4).
+        lag/lead introduce a null per partition head/tail, so numeric
+        sources surface as float64 (pandas shift semantics); cum_aggs
+        keep the source dtype (null-free sources — nullable sources
+        already vary by bucket in plain pandas, documented caveat);
+        ranks are int64 except percent_rank."""
+        empty = schema.empty_table().to_pandas()
+        if name in rank_aggs:
+            return ("float64" if rank_aggs[name] == "percent_rank"
+                    else "int64")
+        if name in cum_aggs:
+            src, agg = cum_aggs[name]
+            return "int64" if agg == "cumcount" else empty[src].dtype
+        src = lag_cols.get(name, lead_cols.get(name))
+        d = empty[src].dtype
+        if pd.api.types.is_bool_dtype(d):
+            return object
+        if pd.api.types.is_integer_dtype(d):
+            return "float64"
+        return d
+
     def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if key_col not in g.columns or len(g) == 0:
             out = schema.empty_table().to_pandas()
             for name in (set(lag_cols) | set(lead_cols)
                          | set(cum_aggs) | set(rank_aggs)):
-                out[name] = pd.Series(dtype="float64")
+                out[name] = pd.Series(dtype=_added_dtype(name))
             return out
         g = g.sort_values(sort_cols, kind="mergesort")
         # dropna=False: a null key is a partition like any other
