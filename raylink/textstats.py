@@ -293,3 +293,286 @@ def top_keywords(ds, text_col: str, id_col: str, k: int = 5,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --- Gopher-style repetition signals --------------------------------
+#
+# The repetition heuristics used by web-corpus curation (Gopher
+# appendix A1; also RefinedWeb / Dolma): fraction of duplicate lines,
+# fraction of characters inside duplicate lines, fraction of
+# characters covered by the single most frequent word n-gram, and
+# fraction of characters covered by word n-grams that occur more than
+# once. Every formula below is pinned EXACTLY (tie-breaks, denominators,
+# integerization) so a DuckDB SQL twin reproduces it bit-for-bit —
+# verified in tests/test_repetition.py.
+#
+# Definitions (per document):
+#   lines    = text split on '\n', each trimmed of ' \t\r', empties
+#              dropped; line comparisons are on the RAW (case-kept)
+#              trimmed line.
+#   tokens   = lowercase whitespace tokens (the corpus-wide tokenizer
+#              shared with top_keywords / document_frequencies).
+#   tok_chars = sum(len(token)) over all tokens — the char denominator
+#              (whitespace never counts, so overlapping-gram numerators
+#              are comparable across formulas).
+#   ngram(n) = n consecutive tokens of ONE doc joined by ' '; its char
+#              weight is the sum of its token lengths (no separator).
+#
+#   dup_line_frac       = (n_lines - n_distinct_lines) / n_lines
+#   dup_line_char_frac  = (line_chars - distinct_line_chars) / line_chars
+#   top{n}gram_char_frac = count(g*) * chars(g*) / tok_chars, where g*
+#       is the most frequent n-gram, ties to the lexicographically
+#       smallest; may exceed 1 for self-overlapping grams (documented
+#       Gopher behavior; not clamped so the SQL twin stays trivial).
+#   dup{n}gram_char_frac = sum over distinct n-grams with count >= 2 of
+#       count * chars / tok_chars.
+#
+# All emitted as floor(1e6 * value) int64 (0 when the denominator is
+# 0), matching the repo-wide *_e6 exactness convention.
+#
+# Scale shape: one pass of map_batches; each doc's lines/tokens explode
+# and re-aggregate INSIDE its batch (C-level pandas groupby) — nothing
+# shuffles, nothing leaves the batch, so the stage streams at 100 TB.
+
+
+def _ngram_concat(toks: "np.ndarray", lens: "np.ndarray",
+                  parent: "np.ndarray", n: int):
+    """Vectorized word-ngram build over an exploded token array:
+    (doc_idx, ngram_string, ngram_char_len) for every window of n
+    consecutive tokens that stays inside one doc. ``toks`` is an
+    object ndarray (elementwise ``+`` is a C loop over PyUnicode
+    concat — the same trade top_keywords makes)."""
+    import numpy as np
+
+    if len(toks) < n:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64))
+    m = len(toks) - n + 1
+    valid = parent[:m] == parent[n - 1:]
+    grams = toks[:m].copy()
+    glens = lens[:m].astype(np.int64).copy()
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + toks[j:m + j]
+        glens += lens[j:m + j]
+    return parent[:m][valid], grams[valid], glens[valid]
+
+
+def _explode_tokens(batch: pa.Table, text_col: str):
+    """(toks, lens, parent, tok_chars_per_row) for a batch — lowercase
+    whitespace tokens via Arrow kernels, then numpy views."""
+    import numpy as np
+
+    s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+    split = pc.utf8_split_whitespace(pc.utf8_lower(s))
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split)
+    mask = pc.greater(pc.utf8_length(flat), 0)
+    toks = np.asarray(flat.filter(mask).to_pylist(), dtype=object)
+    parent = np.asarray(parent.filter(mask)).astype(np.int64)
+    lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+    tok_chars = np.zeros(batch.num_rows, np.int64)
+    np.add.at(tok_chars, parent, lens)
+    return toks, lens, parent, tok_chars
+
+
+def add_repetition_signals(ds, text_col: str,
+                           top_ns: tuple[int, ...] = (2, 3),
+                           dup_ns: tuple[int, ...] = (5,),
+                           batch_size: int = 4096):
+    """Append the Gopher-style repetition columns (see module note for
+    the exact pinned formulas): n_lines, dup_line_frac_e6,
+    dup_line_char_frac_e6, top{n}gram_char_frac_e6 per ``top_ns``,
+    dup{n}gram_char_frac_e6 per ``dup_ns``."""
+    import numpy as np
+    import pandas as pd
+
+    def f(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+
+        # ---- lines (raw case, trimmed, empties dropped) ----
+        lsplit = pc.split_pattern(s, "\n")
+        lflat = pc.utf8_trim(pc.list_flatten(lsplit), " \t\r")
+        lparent = pc.list_parent_indices(lsplit)
+        lmask = pc.greater(pc.utf8_length(lflat), 0)
+        ldf = pd.DataFrame({
+            "d": np.asarray(lparent.filter(lmask)).astype(np.int64),
+            "ln": lflat.filter(lmask).to_pandas(),
+        })
+        n_lines = np.zeros(nrows, np.int64)
+        dup_line = np.zeros(nrows, np.int64)
+        dup_line_char = np.zeros(nrows, np.int64)
+        if len(ldf):
+            ldf["chars"] = ldf["ln"].str.len().astype(np.int64)
+            per_doc = ldf.groupby("d", sort=False)
+            tot = per_doc.size()
+            tot_chars = per_doc["chars"].sum()
+            firsts = ldf.drop_duplicates(["d", "ln"])
+            dg = firsts.groupby("d", sort=False)
+            distinct = dg.size()
+            distinct_chars = dg["chars"].sum()
+            idx = tot.index.to_numpy()
+            n_lines[idx] = tot.to_numpy()
+            # float expressions evaluate LEFT-TO-RIGHT, exactly like the
+            # SQL twin's `1e6 * a / b` — same ulp, same floor
+            dup_line[idx] = np.floor(
+                1e6 * (tot - distinct).to_numpy()
+                / tot.to_numpy()).astype(np.int64)
+            tc = tot_chars.to_numpy().astype(np.float64)
+            dup_line_char[idx] = np.where(
+                tc > 0,
+                np.floor(1e6 * (tot_chars - distinct_chars).to_numpy()
+                         / np.maximum(tc, 1.0)),
+                0).astype(np.int64)
+
+        # ---- word n-grams ----
+        toks, lens, parent, tok_chars = _explode_tokens(batch, text_col)
+        denom = np.maximum(tok_chars.astype(np.float64), 1.0)
+        has = tok_chars > 0
+        out_cols: dict[str, np.ndarray] = {}
+        for n in sorted(set(top_ns) | set(dup_ns)):
+            d_idx, grams, glens = _ngram_concat(toks, lens, parent, n)
+            cnt = (pd.DataFrame({"d": d_idx, "g": grams, "c": glens})
+                   .groupby(["d", "g"], sort=False)
+                   .agg(n=("g", "size"), chars=("c", "first"))
+                   .reset_index()) if len(d_idx) else pd.DataFrame(
+                       columns=["d", "g", "n", "chars"])
+            if n in top_ns:
+                top = np.zeros(nrows, np.int64)
+                if len(cnt):
+                    best = (cnt.sort_values(
+                        ["d", "n", "g"],
+                        ascending=[True, False, True],
+                        kind="mergesort").drop_duplicates("d"))
+                    bi = best["d"].to_numpy()
+                    val = np.floor(
+                        1e6 * best["n"].to_numpy(np.float64)
+                        * best["chars"].to_numpy(np.float64)
+                        / denom[bi])
+                    top[bi] = np.where(has[bi], val, 0).astype(np.int64)
+                out_cols[f"top{n}gram_char_frac_e6"] = top
+            if n in dup_ns:
+                dup = np.zeros(nrows, np.int64)
+                if len(cnt):
+                    reps = cnt[cnt["n"] >= 2]
+                    if len(reps):
+                        cov = (reps["n"].to_numpy(np.float64)
+                               * reps["chars"].to_numpy(np.float64))
+                        tot_cov = (pd.Series(cov)
+                                   .groupby(reps["d"].to_numpy(),
+                                            sort=False).sum())
+                        di = tot_cov.index.to_numpy().astype(np.int64)
+                        dup[di] = np.where(
+                            has[di],
+                            np.floor(1e6 * tot_cov.to_numpy()
+                                     / denom[di]),
+                            0).astype(np.int64)
+                out_cols[f"dup{n}gram_char_frac_e6"] = dup
+
+        cols = {"n_lines": n_lines, "dup_line_frac_e6": dup_line,
+                "dup_line_char_frac_e6": dup_line_char, **out_cols}
+        for name, arr in cols.items():
+            if name in batch.column_names:
+                batch = batch.drop_columns([name])
+            batch = batch.append_column(name, pa.array(arr, pa.int64()))
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def repetition_signals_sql(table: str, text_col: str,
+                           top_ns: tuple[int, ...] = (2, 3),
+                           dup_ns: tuple[int, ...] = (5,),
+                           id_col: str = "doc_id") -> str:
+    """Generated DuckDB twin of :func:`add_repetition_signals` — built
+    from the same (top_ns, dup_ns) so the two can never drift apart."""
+    gram_ctes, gram_selects = [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        gram_ctes.append(f"""
+    g{n} AS (
+      SELECT {id_col}, g, length(replace(g, ' ', '')) AS chars
+      FROM (SELECT {id_col},
+              unnest(list_transform(range(1, len(arr) - {n} + 2),
+                i -> array_to_string(arr[i : i + {n - 1}], ' '))) AS g
+            FROM toks)
+    ), c{n} AS (
+      SELECT {id_col}, g, chars, COUNT(*) AS n FROM g{n}
+      GROUP BY {id_col}, g, chars
+    )""")
+        if n in top_ns:
+            gram_ctes.append(f"""
+    t{n} AS (
+      SELECT {id_col},
+        CAST(FLOOR(1e6 * n * chars / greatest(tok_chars, 1.0)) AS BIGINT)
+          AS v
+      FROM (SELECT c.*, b.tok_chars,
+              row_number() OVER (PARTITION BY c.{id_col}
+                                 ORDER BY n DESC, g ASC) AS rk
+            FROM c{n} c JOIN base b USING ({id_col}))
+      WHERE rk = 1 AND tok_chars > 0
+    )""")
+            gram_selects.append(
+                f"coalesce(t{n}.v, 0) AS top{n}gram_char_frac_e6")
+        if n in dup_ns:
+            gram_ctes.append(f"""
+    d{n} AS (
+      SELECT c.{id_col},
+        CAST(FLOOR(1e6 * SUM(n * chars) / greatest(b.tok_chars, 1.0))
+             AS BIGINT) AS v
+      FROM c{n} c JOIN base b USING ({id_col})
+      WHERE n >= 2 AND b.tok_chars > 0
+      GROUP BY c.{id_col}, b.tok_chars
+    )""")
+            gram_selects.append(
+                f"coalesce(d{n}.v, 0) AS dup{n}gram_char_frac_e6")
+
+    joins = "".join(
+        f"\n    LEFT JOIN t{n} USING ({id_col})" for n in sorted(top_ns)
+    ) + "".join(
+        f"\n    LEFT JOIN d{n} USING ({id_col})" for n in sorted(dup_ns))
+
+    return rf"""
+    WITH base AS (
+      SELECT {id_col},
+        length(regexp_replace(lower({text_col}), '\s+', '', 'g'))
+          AS tok_chars
+      FROM {table}
+    ), toks AS (
+      SELECT {id_col},
+        list_filter(string_split_regex(lower({text_col}), '\s+'),
+                    t -> t <> '') AS arr
+      FROM {table}
+    ), lines AS (
+      SELECT {id_col}, ln FROM (
+        SELECT {id_col},
+          unnest(list_filter(
+            list_transform(string_split({text_col}, chr(10)),
+                           x -> trim(x, ' ' || chr(9) || chr(13))),
+            x -> x <> '')) AS ln
+        FROM {table})
+    ), lstats AS (
+      SELECT {id_col}, COUNT(*) AS n_lines,
+        COUNT(DISTINCT ln) AS n_distinct,
+        SUM(length(ln)) AS line_chars
+      FROM lines
+      GROUP BY {id_col}
+    ), ldist AS (
+      SELECT {id_col}, SUM(length(ln)) AS distinct_chars
+      FROM (SELECT DISTINCT {id_col}, ln FROM lines)
+      GROUP BY {id_col}
+    ),{",".join(gram_ctes)}
+    SELECT b.{id_col},
+      coalesce(ls.n_lines, 0) AS n_lines,
+      CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0
+        ELSE CAST(FLOOR(1e6 * (ls.n_lines - ls.n_distinct)
+                        / ls.n_lines) AS BIGINT) END AS dup_line_frac_e6,
+      CASE WHEN coalesce(ls.line_chars, 0) = 0 THEN 0
+        ELSE CAST(FLOOR(1e6 * (ls.line_chars - ld.distinct_chars)
+                        / greatest(ls.line_chars, 1.0)) AS BIGINT)
+        END AS dup_line_char_frac_e6,
+      {", ".join(gram_selects)}
+    FROM base b
+    LEFT JOIN lstats ls USING ({id_col})
+    LEFT JOIN ldist ld USING ({id_col}){joins}
+    """

@@ -1,0 +1,87 @@
+"""Gopher-style repetition signals: bit-exact DuckDB parity (the
+generated SQL twin), partition invariance, and edge cases (empty docs,
+single-token docs, self-overlapping grams, case-sensitive lines)."""
+
+import duckdb
+import pandas as pd
+
+import ray.data as rd
+
+from raylink.textstats import add_repetition_signals, repetition_signals_sql
+
+DOCS = [
+    "the cat sat on the mat the cat sat again",
+    "hello world\nhello world\nsomething else\nhello world",
+    "a a a a a a a a",          # self-overlapping grams: frac > 1e6
+    "",                          # no tokens, no lines
+    "one two three four five six seven one two three four five six",
+    "x y\n\n  x y  \n\tz\t",    # trim ' \t\r', drop empty lines
+    "Mixed CASE line\nmixed case line",  # lines compare RAW case
+    "solo",                      # fewer tokens than any n
+]
+
+COLS = ["doc_id", "n_lines", "dup_line_frac_e6", "dup_line_char_frac_e6",
+        "top2gram_char_frac_e6", "top3gram_char_frac_e6",
+        "dup5gram_char_frac_e6"]
+
+
+def _oracle(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("docs", df)
+    sql = repetition_signals_sql("docs", "text")
+    return con.execute(
+        f"SELECT {', '.join(COLS)} FROM ({sql}) ORDER BY doc_id"
+    ).fetchdf()
+
+
+def _run(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    ds = rd.from_pandas(df)
+    got = (add_repetition_signals(ds, "text", **kw)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return got[COLS]
+
+
+def test_repetition_signals_match_duckdb():
+    df = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    got = _run(df)
+    want = _oracle(df)
+    for c in COLS:
+        assert (got[c].to_numpy().astype("int64")
+                == want[c].to_numpy().astype("int64")).all(), c
+
+
+def test_repetition_signals_partition_invariance():
+    df = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    one = _run(df, batch_size=1024)
+    tiny = (add_repetition_signals(
+        rd.from_pandas(df).repartition(5), "text", batch_size=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))[COLS]
+    pd.testing.assert_frame_equal(one, tiny)
+
+
+def test_repetition_overlap_exceeds_one():
+    # 'a a a a a a a a': top 2-gram 'a a' occurs 7x, chars 2, tok_chars
+    # 8 -> 7*2/8 = 1.75 — documented (Gopher) unclamped behavior
+    df = pd.DataFrame({"doc_id": [0], "text": ["a a a a a a a a"]})
+    got = _run(df)
+    assert int(got["top2gram_char_frac_e6"].iloc[0]) == 1_750_000
+    assert int(got["dup5gram_char_frac_e6"].iloc[0]) == 2_500_000
+
+
+def test_repetition_custom_ns():
+    df = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    ds = rd.from_pandas(df)
+    got = (add_repetition_signals(ds, "text", top_ns=(4,), dup_ns=(2, 6))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    cols = ["doc_id", "top4gram_char_frac_e6", "dup2gram_char_frac_e6",
+            "dup6gram_char_frac_e6"]
+    con = duckdb.connect()
+    con.register("docs", df)
+    sql = repetition_signals_sql("docs", "text", top_ns=(4,),
+                                 dup_ns=(2, 6))
+    want = con.execute(
+        f"SELECT {', '.join(cols)} FROM ({sql}) ORDER BY doc_id"
+    ).fetchdf()
+    for c in cols:
+        assert (got[c].to_numpy().astype("int64")
+                == want[c].to_numpy().astype("int64")).all(), c
