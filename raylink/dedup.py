@@ -854,3 +854,215 @@ def near_dup_dedup(ds, text_col: str, id_col: str,
     non_canonical = cc.map_batches(losers, batch_format="pyarrow")
     return broadcast_anti_join(ds, non_canonical, key=id_col,
                                keys_key="id")
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (Dolma / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+def _explode_paragraphs(batch: pa.Table, text_col: str, id_col: str):
+    """(ids, pos, paras) arrays: text split on '\\n', each paragraph
+    trimmed of ' \\t\\r', empties dropped; pos is the 1-based index
+    among the SURVIVING paragraphs of its doc (matching the SQL twin's
+    ``range(1, len(arr) + 1)`` over the filtered list)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+    split = pc.split_pattern(s, "\n")
+    flat = pc.utf8_trim(pc.list_flatten(split), " \t\r")
+    parent = pc.list_parent_indices(split)
+    mask = pc.greater(pc.utf8_length(flat), 0)
+    paras = flat.filter(mask)
+    par = np.asarray(parent.filter(mask)).astype(np.int64)
+    pos = (pd.Series(par).groupby(par, sort=False).cumcount()
+           .to_numpy() + 1).astype(np.int32)
+    ids = batch.column(id_col).take(pa.array(par))
+    return ids, pos, paras
+
+
+def paragraph_dedup(ds, text_col: str, id_col: str,
+                    num_group_buckets: int = 512,
+                    out_text_col: str = "text"):
+    """Cross-document paragraph dedup — the Dolma / RefinedWeb curation
+    step the reference has no analogue for: every paragraph that occurs
+    more than once ACROSS the corpus is kept only at its globally first
+    occurrence (ordered by (id, position)); all later occurrences are
+    removed and each doc's text is rebuilt from its surviving
+    paragraphs in original order. Returns one row per input doc:
+    (id, out_text_col, n_paras, n_removed) — docs whose every paragraph
+    was removed (or that had none) come back with text ''.
+
+    Paragraph identity is sha1 of the trimmed paragraph (the same
+    exact-identity convention as :func:`dedup_exact_text`); the SQL
+    twin (:func:`paragraph_dedup_sql`) compares the strings themselves.
+
+    Scale shape (two hash shuffles, neither keyed on text):
+    1. ownership — ships only (id, pos, sha1) rows (~60 B/paragraph,
+       never the text), co-shuffled into ``num_group_buckets`` sha
+       buckets; inside each bucket one vectorized sort + duplicated()
+       marks every non-first occurrence. Only the REMOVED (id, pos)
+       rows come back — tiny for real corpora.
+    2. reassembly — paragraphs, removal rows and the doc-id universe
+       co-shuffle once by id hash; each bucket drops removed positions,
+       joins survivors with '\\n' (C-level pandas groupby) and emits
+       finished docs. Paragraph text moves through exactly one shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .blocks import dataset_schema, stable_hash_array
+
+    sch = dataset_schema(ds)
+    if id_col not in sch.names:
+        raise ValueError(f"paragraph_dedup: no column {id_col!r}")
+    id_type = sch.field(id_col).type
+    nb = np.uint64(num_group_buckets)
+
+    # every UDF below emits this exact schema, so 0-row outputs (a
+    # batch of paragraph-free docs, a duplicate-free sha bucket) can
+    # never poison the union (see raylink/blocks.py module note)
+    union_schema = pa.schema([
+        (id_col, id_type), ("_pos", pa.int32()),
+        ("_para", pa.string()), ("_tag", pa.int8()),
+        ("_b", pa.int32())])
+
+    def _tagged(ids, pos, paras, tag_val: int) -> pa.Table:
+        n = len(pos)
+        b = (stable_hash_array(ids) % nb).astype(np.int32)
+        return pa.table({
+            id_col: ids,
+            "_pos": pa.array(np.asarray(pos, np.int32)),
+            "_para": (paras if paras is not None
+                      else pa.nulls(n, pa.string())),
+            "_tag": pa.array(np.full(n, tag_val, np.int8)),
+            "_b": pa.array(b),
+        }, schema=union_schema)
+
+    def para_rows(batch: pa.Table) -> pa.Table:
+        ids, pos, paras = _explode_paragraphs(batch, text_col, id_col)
+        return _tagged(ids, pos, paras, 0)
+
+    # -- 1. ownership: (id, pos, sha) rows -> removed (id, pos) ------
+    sha_schema = pa.schema([
+        (id_col, id_type), ("_pos", pa.int32()),
+        ("_sha", pa.string()), ("_sb", pa.int32())])
+
+    def sha_rows(batch: pa.Table) -> pa.Table:
+        ids, pos, paras = _explode_paragraphs(batch, text_col, id_col)
+        shas = [hashlib.sha1(p.encode("utf-8")).hexdigest()
+                for p in paras.to_pylist()]
+        sb = (np.array([int(h[:8], 16) for h in shas], np.uint64)
+              % nb).astype(np.int32) if shas else np.empty(0, np.int32)
+        return pa.table({
+            id_col: ids, "_pos": pa.array(np.asarray(pos, np.int32)),
+            "_sha": pa.array(shas, pa.string()),
+            "_sb": pa.array(sb, pa.int32()),
+        }, schema=sha_schema)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if "_sha" not in g.column_names or g.num_rows == 0:
+            return union_schema.empty_table()
+        df = g.select([id_col, "_pos", "_sha"]).to_pandas()
+        df = df.sort_values(["_sha", id_col, "_pos"], kind="mergesort")
+        gone = df[df.duplicated("_sha", keep="first")]
+        return _tagged(
+            pa.array(gone[id_col].tolist(), id_type),
+            gone["_pos"].to_numpy(np.int32), None, 1)
+
+    removed = (ds.map_batches(sha_rows, batch_format="pyarrow")
+               .groupby("_sb")
+               .map_groups(resolve, batch_format="pyarrow"))
+
+    # -- 2. reassembly co-shuffle by id ------------------------------
+    def universe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _tagged(batch.column(id_col),
+                       np.full(n, -1, np.int32), None, 2)
+
+    tagged = (
+        ds.map_batches(para_rows, batch_format="pyarrow")
+        .union(removed)
+        .union(ds.select_columns([id_col]).map_batches(
+            universe, batch_format="pyarrow"))
+    )
+
+    out_schema = pa.schema([
+        (id_col, id_type), (out_text_col, pa.string()),
+        ("n_paras", pa.int64()), ("n_removed", pa.int64())])
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        if "_tag" not in g.column_names or g.num_rows == 0:
+            return out_schema.empty_table()
+        df = g.select([id_col, "_pos", "_para", "_tag"]).to_pandas()
+        p = df[df["_tag"] == 0]
+        r = df[df["_tag"] == 1][[id_col, "_pos"]]
+        base = df[df["_tag"] == 2][[id_col]].drop_duplicates()
+        if len(r):
+            p = p.merge(r.assign(_gone=True), on=[id_col, "_pos"],
+                        how="left")
+            surv = p[p["_gone"].isna()]
+        else:
+            surv = p
+        surv = surv.sort_values([id_col, "_pos"], kind="mergesort")
+        text = (surv.groupby(id_col, sort=False)["_para"]
+                .agg("\n".join))
+        n_paras = p.groupby(id_col, sort=False).size()
+        n_removed = (r.groupby(id_col, sort=False).size()
+                     if len(r) else pd.Series(dtype=np.int64))
+        out = base.set_index(id_col)
+        out[out_text_col] = text
+        out["n_paras"] = n_paras
+        out["n_removed"] = n_removed
+        out = out.reset_index()
+        return pa.table({
+            id_col: pa.array(out[id_col].tolist(), id_type),
+            out_text_col: pa.array(
+                out[out_text_col].fillna("").tolist(), pa.string()),
+            "n_paras": pa.array(out["n_paras"].fillna(0)
+                                .to_numpy(np.int64)),
+            "n_removed": pa.array(out["n_removed"].fillna(0)
+                                  .to_numpy(np.int64)),
+        }, schema=out_schema)
+
+    return tagged.groupby("_b").map_groups(
+        rebuild, batch_format="pyarrow")
+
+
+def paragraph_dedup_sql(table: str, text_col: str, id_col: str,
+                        out_text_col: str = "text") -> str:
+    """DuckDB twin of :func:`paragraph_dedup` (string-equality
+    identity; bit-identical output on sha1-collision-free input)."""
+    return rf"""
+    WITH lst AS (
+      SELECT {id_col},
+        list_filter(list_transform(string_split({text_col}, chr(10)),
+                    x -> trim(x, ' ' || chr(9) || chr(13))),
+                    x -> x <> '') AS arr
+      FROM {table}
+    ), paras AS (
+      SELECT {id_col}, unnest(arr) AS p,
+             unnest(range(1, len(arr) + 1)) AS i
+      FROM lst
+    ), marked AS (
+      SELECT {id_col}, i, p,
+        row_number() OVER (PARTITION BY p ORDER BY {id_col}, i) AS rn
+      FROM paras
+    ), kept AS (
+      SELECT {id_col}, string_agg(p, chr(10) ORDER BY i) AS t,
+             COUNT(*) AS kept_n
+      FROM marked WHERE rn = 1 GROUP BY {id_col}
+    ), np_ AS (
+      SELECT {id_col}, COUNT(*) AS n FROM paras GROUP BY {id_col}
+    )
+    SELECT l.{id_col},
+      coalesce(k.t, '') AS {out_text_col},
+      CAST(coalesce(np_.n, 0) AS BIGINT) AS n_paras,
+      CAST(coalesce(np_.n, 0) - coalesce(k.kept_n, 0) AS BIGINT)
+        AS n_removed
+    FROM lst l
+    LEFT JOIN kept k USING ({id_col})
+    LEFT JOIN np_ USING ({id_col})
+    """

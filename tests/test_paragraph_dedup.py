@@ -1,0 +1,75 @@
+"""Cross-document paragraph dedup: DuckDB window-function parity,
+globally-first ownership, partition invariance, string ids, and the
+no-duplicates corpus (every sha bucket resolves empty)."""
+
+import duckdb
+import pandas as pd
+
+import ray.data as rd
+
+from raylink.dedup import paragraph_dedup, paragraph_dedup_sql
+
+DOCS = [
+    "keep me\nshared boilerplate\nunique tail",
+    "shared boilerplate\nanother para\nshared boilerplate",
+    "totally unique\n\n  shared boilerplate  ",   # trim before compare
+    "",                                            # no paragraphs
+    "only here",
+    "shared boilerplate",                          # doc = one dup para
+]
+
+
+def _oracle(df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("docs", df)
+    return con.execute(
+        "SELECT * FROM ("
+        + paragraph_dedup_sql("docs", "text", id_col)
+        + f") ORDER BY {id_col}").fetchdf()
+
+
+def _run(df: pd.DataFrame, id_col: str = "doc_id", **kw) -> pd.DataFrame:
+    return (paragraph_dedup(rd.from_pandas(df), "text", id_col, **kw)
+            .to_pandas().sort_values(id_col).reset_index(drop=True))
+
+
+def test_paragraph_dedup_matches_duckdb():
+    df = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    got = _run(df, num_group_buckets=8)
+    want = _oracle(df)
+    for c in ("text", "n_paras", "n_removed"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_paragraph_dedup_keeps_global_first():
+    # the winner is the (id, position)-smallest occurrence, across docs
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["b\na", "a\nb"]})
+    got = _run(df, num_group_buckets=4)
+    assert got["text"].tolist() == ["b\na", ""]
+    assert got["n_removed"].tolist() == [0, 2]
+
+
+def test_paragraph_dedup_partition_invariance():
+    df = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    one = _run(df, num_group_buckets=8)
+    many = (paragraph_dedup(rd.from_pandas(df).repartition(5),
+                            "text", "doc_id", num_group_buckets=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_paragraph_dedup_string_ids():
+    df = pd.DataFrame({"url": [f"u{i:02d}" for i in range(len(DOCS))],
+                       "text": DOCS})
+    got = _run(df, id_col="url", num_group_buckets=8)
+    want = _oracle(df, id_col="url")
+    for c in ("text", "n_paras", "n_removed"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_paragraph_dedup_no_duplicates_is_identity_modulo_trim():
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["alpha\nbeta", "gamma\ndelta"]})
+    got = _run(df, num_group_buckets=4)
+    assert got["text"].tolist() == ["alpha\nbeta", "gamma\ndelta"]
+    assert got["n_removed"].sum() == 0
