@@ -481,6 +481,157 @@ def add_repetition_signals(ds, text_col: str,
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+# --- benchmark decontamination --------------------------------------
+#
+# The train/test-overlap check every LLM data pipeline runs before
+# training: flag (don't silently drop) every training document that
+# contains any word n-gram from a benchmark/eval set. Identity is the
+# exact lowercase whitespace-token n-gram (the corpus tokenizer shared
+# with top_keywords / add_repetition_signals), so the operator has an
+# exact DuckDB twin (tests/test_decontaminate.py).
+#
+# Scale shape: the benchmark side is SMALL (eval sets are thousands of
+# rows) — its distinct n-grams are collected once under a loud bound
+# and broadcast via ray.put; the corpus side is one streaming
+# map_batches pass over an actor pool (the set loads once per actor,
+# never per batch). Nothing shuffles; no corpus byte leaves its batch.
+
+MAX_BENCH_NGRAMS = 5_000_000
+
+
+def benchmark_ngrams(bench_ds, text_col: str, n: int,
+                     max_entries: int = MAX_BENCH_NGRAMS):
+    """Distinct word n-grams of the benchmark set -> broadcast-ready
+    ObjectRef of a frozenset. Per-batch distinct happens distributed;
+    the driver unions the (already deduplicated) batch sets and fails
+    loudly past ``max_entries`` instead of going quiet-quadratic."""
+    import ray
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        toks, lens, parent, _ = _explode_tokens(batch, text_col)
+        _, grams, _ = _ngram_concat(toks, lens, parent, n)
+        import numpy as np
+        return pa.table({"g": pa.array(np.unique(grams).tolist()
+                                       if len(grams) else [],
+                                       pa.string())})
+
+    out: set[str] = set()
+    for b in bench_ds.map_batches(
+            distinct, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        out.update(b.column("g").to_pylist())
+        if len(out) > max_entries:
+            raise ValueError(
+                f"benchmark_ngrams: > {max_entries} distinct "
+                f"{n}-grams; raise max_entries or shrink the benchmark")
+    return ray.put(frozenset(out))
+
+
+class ContaminationCheck:
+    """Actor-pool stage: per-doc benchmark-overlap counters. The
+    benchmark n-gram set loads ONCE per actor from the object store."""
+
+    def __init__(self, ngrams_ref, text_col: str, n: int):
+        import ray
+
+        self.ngrams = (ray.get(ngrams_ref)
+                       if isinstance(ngrams_ref, ray.ObjectRef)
+                       else ngrams_ref)
+        self.text_col = text_col
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        nrows = batch.num_rows
+        toks, lens, parent, _ = _explode_tokens(batch, self.text_col)
+        d_idx, grams, _ = _ngram_concat(toks, lens, parent, self.n)
+        n_ngrams = np.zeros(nrows, np.int64)
+        hits = np.zeros(nrows, np.int64)
+        distinct_hits = np.zeros(nrows, np.int64)
+        if len(d_idx):
+            np.add.at(n_ngrams, d_idx, 1)
+            hit = pd.Series(grams, dtype=object).isin(
+                self.ngrams).to_numpy()
+            np.add.at(hits, d_idx[hit], 1)
+            if hit.any():
+                hp = pd.DataFrame({"d": d_idx[hit], "g": grams[hit]})
+                dh = hp.groupby("d", sort=False)["g"].nunique()
+                distinct_hits[dh.index.to_numpy()] = dh.to_numpy()
+        for name, arr, t in (
+                ("n_ngrams", n_ngrams, pa.int64()),
+                ("contam_hits", hits, pa.int64()),
+                ("contam_distinct", distinct_hits, pa.int64()),
+                ("contaminated", hits > 0, pa.bool_())):
+            if name in batch.column_names:
+                batch = batch.drop_columns([name])
+            batch = batch.append_column(name, pa.array(arr, t))
+        return batch
+
+
+def flag_contaminated(ds, text_col: str, bench_ds, bench_text_col: str,
+                      n: int = 8, concurrency: int = 4,
+                      batch_size: int = 4096,
+                      max_bench_entries: int = MAX_BENCH_NGRAMS):
+    """Append per-doc benchmark-overlap columns: n_ngrams (total
+    ``n``-gram occurrences), contam_hits (occurrences found in the
+    benchmark), contam_distinct (distinct matched grams), contaminated
+    (any hit). Flagging, not dropping — the downstream filter stays a
+    one-line ``ds.filter`` the pipeline owner controls."""
+    ref = benchmark_ngrams(bench_ds, bench_text_col, n,
+                           max_entries=max_bench_entries)
+    return ds.map_batches(
+        ContaminationCheck,
+        fn_constructor_args=(ref, text_col, n),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        # autoscaling (1, N): a FIXED pool waits for its full CPU
+        # reservation and deadlocks small sessions when an all-to-all
+        # op (e.g. an upstream repartition) holds CPUs — the measured
+        # two-reserved-pools pitfall
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def contamination_sql(doc_table: str, bench_table: str, text_col: str,
+                      bench_text_col: str, id_col: str = "doc_id",
+                      n: int = 8) -> str:
+    """DuckDB twin of :func:`flag_contaminated` (exact string-equality
+    n-gram semi-join)."""
+
+    def grams(table, col):
+        return rf"""
+      SELECT *, unnest(list_transform(range(1, len(arr) - {n} + 2),
+               i -> array_to_string(arr[i : i + {n - 1}], ' '))) AS g
+      FROM (SELECT {'%s' % (id_col if table == doc_table else "1 AS _x")},
+              list_filter(string_split_regex(lower({col}), '\s+'),
+                          t -> t <> '') AS arr
+            FROM {table})"""
+
+    return rf"""
+    WITH dg AS ({grams(doc_table, text_col)}
+    ), bg AS (
+      SELECT DISTINCT g FROM ({grams(bench_table, bench_text_col)})
+    ), joined AS (
+      SELECT dg.{id_col}, dg.g, (bg.g IS NOT NULL) AS hit
+      FROM dg LEFT JOIN bg USING (g)
+    ), agg AS (
+      SELECT {id_col}, COUNT(*) AS n_ngrams,
+        COUNT(*) FILTER (hit) AS contam_hits,
+        COUNT(DISTINCT g) FILTER (hit) AS contam_distinct
+      FROM joined GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+      CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+      CAST(coalesce(a.contam_hits, 0) AS BIGINT) AS contam_hits,
+      CAST(coalesce(a.contam_distinct, 0) AS BIGINT) AS contam_distinct,
+      coalesce(a.contam_hits, 0) > 0 AS contaminated
+    FROM {doc_table} d LEFT JOIN agg a USING ({id_col})
+    """
+
+
 def repetition_signals_sql(table: str, text_col: str,
                            top_ns: tuple[int, ...] = (2, 3),
                            dup_ns: tuple[int, ...] = (5,),
