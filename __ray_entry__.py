@@ -653,15 +653,20 @@ def q_doc_text_stats(sf_dir: str):
     q_ngram_frequencies): per-doc token counts + composite quality
     score + marker-token lang-ID (r4 fold #5: doc_lang_id's column
     moved in here to free a slot for doc_perplexity at the 50-entry
-    cap; q_doc_lang_id stays callable, exercised by pytest); the oracle
-    merges the unchanged SQL twins into a single SELECT."""
+    cap; q_doc_lang_id stays callable, exercised by pytest) + the
+    Gopher-style repetition signals (r4 fold #7: same per-doc rows, SQL
+    twin generated by raylink.textstats.repetition_signals_sql); the
+    oracle merges the SQL twins into a single SELECT."""
     # the per-row kernels run in ONE pass over the text (cheaper than
     # unioning/joining the component queries)
-    from raylink.textstats import add_quality_score, add_token_counts
+    from raylink.textstats import (add_quality_score,
+                                   add_repetition_signals,
+                                   add_token_counts)
 
     src = _t(sf_dir, "documents", ["doc_id", "text"])
-    both = add_lang_id(
-        add_quality_score(add_token_counts(src, "text"), "text"), "text")
+    both = add_repetition_signals(add_lang_id(
+        add_quality_score(add_token_counts(src, "text"), "text"),
+        "text"), "text")
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -671,6 +676,11 @@ def q_doc_text_stats(sf_dir: str):
             "quality_e6": pc.cast(
                 pc.floor(pc.multiply(t["quality"], 1e6)), pa.int64()),
             "lang_pred": t["lang_pred"],
+            "n_lines": t["n_lines"],
+            "dup_line_frac_e6": t["dup_line_frac_e6"],
+            "top2gram_char_frac_e6": t["top2gram_char_frac_e6"],
+            "top3gram_char_frac_e6": t["top3gram_char_frac_e6"],
+            "dup5gram_char_frac_e6": t["dup5gram_char_frac_e6"],
         })
 
     return both.map_batches(proj, batch_format="pyarrow")
@@ -1761,6 +1771,14 @@ def _lang_counts_sql() -> str:
     )
 
 
+def _repetition_sql() -> str:
+    """Generated repetition-signals twin over the documents view, with
+    the same default (top_ns, dup_ns) as q_doc_text_stats' Ray stage."""
+    from raylink.textstats import repetition_signals_sql
+
+    return repetition_signals_sql("documents", "text")
+
+
 def _lang_case_sql() -> str:
     """CASE expression resolving the c_* columns to lang_pred."""
     langs = [lang for lang, _ in LANG_MARKERS]
@@ -2625,8 +2643,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_crosstab": _crosstab_sql(),
         # folded per-row text-stats oracle: the doc_token_counts,
         # doc_quality_score and doc_lang_id SQL twins merged into one
-        # SELECT (r4 fold #5)
+        # SELECT (r4 fold #5), joined with the GENERATED repetition-
+        # signals twin (r4 fold #7; raylink.textstats builds the SQL
+        # from the same (top_ns, dup_ns) as the Ray stage)
         "doc_text_stats": rf"""
+            SELECT a.*, b.n_lines, b.dup_line_frac_e6,
+                   b.top2gram_char_frac_e6, b.top3gram_char_frac_e6,
+                   b.dup5gram_char_frac_e6
+            FROM ({{DOC_TEXT_STATS_BASE}}) a
+            JOIN ({{REPETITION_SQL}}) b USING (doc_id)
+        """.replace("{DOC_TEXT_STATS_BASE}", rf"""
             WITH f AS (
               SELECT doc_id,
                 len(regexp_extract_all(text, '\S+')) AS ws_tokens,
@@ -2649,7 +2675,7 @@ def oracle_sql() -> dict[str, str]:
               )) AS BIGINT) AS quality_e6,
               {_lang_case_sql()} AS lang_pred
             FROM f
-        """,
+        """).replace("{REPETITION_SQL}", _repetition_sql()),
         "ngram_jaccard_pairs": r"""
             WITH prep AS (
               SELECT doc_id, lang, n_chars,
