@@ -194,3 +194,68 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
         .groupby("_rb")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted (Bernoulli) sampling — corpus mixing
+# ---------------------------------------------------------------------------
+
+_U64_SPAN = 18446744073709551616.0  # 2^64 as an exact double
+
+
+def bernoulli_sample(ds, id_col: str, rate, seed: int = 42):
+    """Keep each row iff ``uniform(id) < rate`` where ``uniform(id) =
+    CAST(hash AS DOUBLE) / 2^64`` over the same seed-keyed hash rank as
+    :func:`stratified_sample` — the corpus-mixing primitive ("sample
+    domain d at temperature-derived rate w_d"): join/broadcast a rate
+    column onto the rows, then one shuffle-free filter pass.
+
+    ``rate``: a float (uniform rate) or a COLUMN NAME holding a per-row
+    float in [0, 1] (e.g. a per-domain weight attached upstream).
+    Deterministic for a fixed seed regardless of blocking/parallelism,
+    and bit-reproducible in SQL::
+
+        WHERE CAST({sample_hash[_str]_sql_expr} AS DOUBLE)
+              / 18446744073709551616.0 < {rate}
+
+    The comparison is pinned in the DOUBLE domain on both sides (the
+    division rounds identically in numpy and DuckDB), so the kept row
+    set is bit-identical — tests/test_ranking.py::test_bernoulli_*.
+    Unlike Ray's ``random_sample`` this is content-keyed, hence stable
+    across runs and resumable-safe (see raylink-perf notes on
+    random_sample's block-boundary dependence)."""
+    schema = _pa_schema(ds)
+    id_field = schema.field(id_col) if id_col in schema.names else None
+    if id_field is None:
+        raise ValueError(f"bernoulli_sample: no column {id_col!r}")
+    use_str = (pa.types.is_string(id_field.type)
+               or pa.types.is_large_string(id_field.type))
+    if not use_str and not pa.types.is_integer(id_field.type):
+        raise TypeError(
+            f"bernoulli_sample: {id_col!r} must be integer- or "
+            f"string-typed for a SQL-reproducible hash, got "
+            f"{id_field.type}")
+    rate_col = rate if isinstance(rate, str) else None
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pandas()
+        if ids.isna().any():
+            raise ValueError(
+                f"bernoulli_sample: {id_col!r} contains nulls")
+        h = (sample_hash_str(ids.to_numpy(), seed) if use_str
+             else sample_hash(ids.to_numpy(), seed))
+        u = h.astype(np.float64) / _U64_SPAN
+        r = (np.asarray(t.column(rate_col), dtype=np.float64)
+             if rate_col else float(rate))
+        return t.filter(pa.array(u < r))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def bernoulli_sample_sql_where(id_col: str, rate_expr: str,
+                               seed: int = 42,
+                               string_id: bool = False) -> str:
+    """The WHERE predicate mirroring :func:`bernoulli_sample`."""
+    h = (sample_hash_str_sql_expr(id_col, seed) if string_id
+         else sample_hash_sql_expr(id_col, seed))
+    return f"(CAST({h} AS DOUBLE) / {_U64_SPAN!r} < ({rate_expr}))"

@@ -358,13 +358,16 @@ def _ngram_concat(toks: "np.ndarray", lens: "np.ndarray",
     return parent[:m][valid], grams[valid], glens[valid]
 
 
-def _explode_tokens(batch: pa.Table, text_col: str):
-    """(toks, lens, parent, tok_chars_per_row) for a batch — lowercase
-    whitespace tokens via Arrow kernels, then numpy views."""
+def _explode_tokens(batch: pa.Table, text_col: str, lower: bool = True):
+    """(toks, lens, parent, tok_chars_per_row) for a batch —
+    whitespace tokens (lowercased unless ``lower=False``) via Arrow
+    kernels, then numpy views."""
     import numpy as np
 
     s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
-    split = pc.utf8_split_whitespace(pc.utf8_lower(s))
+    if lower:
+        s = pc.utf8_lower(s)
+    split = pc.utf8_split_whitespace(s)
     flat = pc.list_flatten(split)
     parent = pc.list_parent_indices(split)
     mask = pc.greater(pc.utf8_length(flat), 0)
@@ -726,4 +729,106 @@ def repetition_signals_sql(table: str, text_col: str,
     FROM base b
     LEFT JOIN lstats ls USING ({id_col})
     LEFT JOIN ldist ld USING ({id_col}){joins}
+    """
+
+
+# --- token-window document chunking ----------------------------------
+#
+# The context-window preparation stage of an LLM training pipeline:
+# split each document into fixed-size token windows with optional
+# overlap. Pinned semantics (mirrored exactly by chunk_documents_sql):
+# tokens are the RAW (case-kept) whitespace tokens, empties dropped;
+# stride = chunk_tokens - overlap; chunk i (1-based) covers tokens
+# [(i-1)*stride + 1 .. min((i-1)*stride + chunk_tokens, n)]; the chunk
+# count is 1 when n <= chunk_tokens, else ceil((n - chunk_tokens) /
+# stride) + 1 (the first chunk that reaches the last token is the last
+# chunk — no fully-contained trailing chunk); token-free docs emit no
+# chunks. Chunk text joins its tokens with a single space.
+#
+# Scale shape: one shuffle-free map_batches pass; each doc's chunks are
+# built inside its batch (string assembly is the work — per-chunk
+# Python join over C-built token arrays, the same trade as
+# TopKeywords). Row expansion is bounded by ~n/stride per doc, so
+# batch_size should shrink as chunk overlap grows.
+
+
+def chunk_documents(ds, text_col: str, id_col: str,
+                    chunk_tokens: int = 512, overlap: int = 0,
+                    batch_size: int = 1024):
+    """(id, chunk_idx, chunk_text, n_tokens) rows — see module note
+    for the pinned window semantics."""
+    import numpy as np
+
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < chunk_tokens, got "
+            f"overlap={overlap}, chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks, _, parent, _ = _explode_tokens(batch, text_col,
+                                             lower=False)
+        ids_all = batch.column(id_col)
+        id_type = batch.schema.field(id_col).type
+        out_schema = pa.schema([
+            (id_col, id_type), ("chunk_idx", pa.int32()),
+            ("chunk_text", pa.string()), ("n_tokens", pa.int64())])
+        if not len(toks):
+            return out_schema.empty_table()
+        rows, starts = np.unique(parent, return_index=True)
+        counts = np.diff(np.append(starts, len(toks)))
+        out_rows, out_idx, out_text, out_n = [], [], [], []
+        for r, st, n in zip(rows, starts, counts):
+            n = int(n)
+            arr = toks[st:st + n]
+            n_chunks = (1 if n <= chunk_tokens
+                        else -(-(n - chunk_tokens) // stride) + 1)
+            for i in range(1, n_chunks + 1):
+                s0 = (i - 1) * stride
+                e0 = min(s0 + chunk_tokens, n)
+                out_rows.append(int(r))
+                out_idx.append(i)
+                out_text.append(" ".join(arr[s0:e0]))
+                out_n.append(e0 - s0)
+        return pa.table({
+            id_col: ids_all.take(pa.array(out_rows, pa.int64())),
+            "chunk_idx": pa.array(out_idx, pa.int32()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        }, schema=out_schema)
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def chunk_documents_sql(table: str, text_col: str, id_col: str,
+                        chunk_tokens: int = 512,
+                        overlap: int = 0) -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    c = int(chunk_tokens)
+    s = c - int(overlap)
+    return rf"""
+    WITH toks AS (
+      SELECT {id_col},
+        list_filter(string_split_regex({text_col}, '\s+'),
+                    t -> t <> '') AS arr
+      FROM {table}
+    ), meta AS (
+      SELECT {id_col}, arr, len(arr) AS n,
+        CASE WHEN len(arr) <= {c} THEN 1
+             ELSE CAST(CEIL((len(arr) - {c}) / CAST({s} AS DOUBLE))
+                       AS BIGINT) + 1 END AS n_chunks
+      FROM toks WHERE len(arr) > 0
+    ), chunks AS (
+      SELECT {id_col}, arr, n,
+        unnest(range(1, n_chunks + 1)) AS chunk_idx
+      FROM meta
+    )
+    SELECT {id_col}, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      array_to_string(
+        arr[(chunk_idx - 1) * {s} + 1 :
+            least((chunk_idx - 1) * {s} + {c}, n)], ' ') AS chunk_text,
+      CAST(least((chunk_idx - 1) * {s} + {c}, n)
+           - (chunk_idx - 1) * {s} AS BIGINT) AS n_tokens
+    FROM chunks
     """

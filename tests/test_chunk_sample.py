@@ -1,0 +1,111 @@
+"""Token-window chunking + deterministic Bernoulli sampling: DuckDB
+twin parity over overlap configurations, window-coverage invariants,
+rate-column and string-id variants, and loud guards."""
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from raylink.ranking import bernoulli_sample, bernoulli_sample_sql_where
+from raylink.textstats import chunk_documents, chunk_documents_sql
+
+rng = random.Random(3)
+DOCS = [" ".join(f"T{j}" for j in range(rng.randint(0, 23)))
+        for _ in range(40)]
+DF = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+
+
+@pytest.mark.parametrize("c,o", [(8, 0), (8, 3), (5, 4), (1, 0)])
+def test_chunk_documents_matches_duckdb(c, o):
+    got = (chunk_documents(rd.from_pandas(DF), "text", "doc_id",
+                           chunk_tokens=c, overlap=o, batch_size=7)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", DF)
+    want = con.execute(
+        "SELECT * FROM ("
+        + chunk_documents_sql("docs", "text", "doc_id", c, o)
+        + ") ORDER BY doc_id, chunk_idx").fetchdf()
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_chunk_coverage_and_overlap_invariants():
+    c, o = 8, 3
+    got = (chunk_documents(rd.from_pandas(DF), "text", "doc_id",
+                           chunk_tokens=c, overlap=o)
+           .to_pandas())
+    stride = c - o
+    for doc_id, g in got.groupby("doc_id"):
+        n = len(DOCS[doc_id].split())
+        g = g.sort_values("chunk_idx")
+        # every token covered: last chunk reaches n, stride spacing
+        assert g["chunk_idx"].tolist() == list(range(1, len(g) + 1))
+        ends = (g["chunk_idx"] - 1) * stride + g["n_tokens"]
+        assert ends.iloc[-1] == n
+        assert (g["n_tokens"] <= c).all()
+        # chunk text round-trips its token slice
+        toks = DOCS[doc_id].split()
+        for _, row in g.iterrows():
+            s0 = (row["chunk_idx"] - 1) * stride
+            assert row["chunk_text"] == " ".join(
+                toks[s0:s0 + row["n_tokens"]])
+
+
+def test_chunk_documents_rejects_bad_overlap():
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_pandas(DF), "text", "doc_id",
+                        chunk_tokens=4, overlap=4)
+
+
+def test_bernoulli_sample_matches_duckdb_int_ids():
+    got = (bernoulli_sample(rd.from_pandas(DF), "doc_id", 0.4, seed=11)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", DF)
+    want = con.execute(
+        "SELECT * FROM docs WHERE "
+        + bernoulli_sample_sql_where("doc_id", "0.4", seed=11)
+        + " ORDER BY doc_id").fetchdf()
+    assert (got["doc_id"].to_numpy()
+            == want["doc_id"].to_numpy()).all()
+    assert 0 < len(got) < len(DF)
+
+
+def test_bernoulli_sample_string_ids_and_rate_column():
+    df2 = DF.assign(url=[f"u{i}" for i in range(len(DF))],
+                    w=np.linspace(0, 1, len(DF)))
+    got = (bernoulli_sample(rd.from_pandas(df2), "url", "w", seed=5)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs2", df2)
+    want = con.execute(
+        "SELECT * FROM docs2 WHERE "
+        + bernoulli_sample_sql_where("url", "w", seed=5,
+                                     string_id=True)
+        + " ORDER BY url").fetchdf()
+    assert (got["url"].to_numpy() == want["url"].to_numpy()).all()
+    # w=0 rows can never survive; w=1 rows always do
+    assert "u0" not in set(got["url"])
+    assert f"u{len(DF)-1}" in set(got["url"])
+
+
+def test_bernoulli_sample_parallelism_invariance():
+    one = (bernoulli_sample(rd.from_pandas(DF), "doc_id", 0.5, seed=9)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    many = (bernoulli_sample(rd.from_pandas(DF).repartition(7),
+                             "doc_id", 0.5, seed=9)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_bernoulli_sample_rejects_float_ids():
+    df = DF.assign(fid=DF["doc_id"].astype("float64"))
+    with pytest.raises(TypeError, match="integer- or"):
+        bernoulli_sample(rd.from_pandas(df), "fid", 0.5)
