@@ -259,3 +259,70 @@ def bernoulli_sample_sql_where(id_col: str, rate_expr: str,
     h = (sample_hash_str_sql_expr(id_col, seed) if string_id
          else sample_hash_sql_expr(id_col, seed))
     return f"(CAST({h} AS DOUBLE) / {_U64_SPAN!r} < ({rate_expr}))"
+
+
+def hash_split(ds, id_col: str, fractions: dict[str, float],
+               seed: int = 42, out_col: str = "split"):
+    """Deterministic train/val/test assignment: ``uniform(id)`` (the
+    same ``CAST(hash AS DOUBLE) / 2^64`` as :func:`bernoulli_sample`)
+    is cut at the cumulative fraction boundaries, in the given dict
+    order. Fractions must sum to 1 (within 1e-9); the last split
+    absorbs the rounding tail so every row is assigned. Content-keyed,
+    so a doc keeps its split across reruns, repartitions and corpus
+    growth — the property random_split lacks. SQL twin:
+    :func:`hash_split_sql_case`."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split: fractions sum to {total}, expected 1.0")
+    schema = _pa_schema(ds)
+    id_field = schema.field(id_col) if id_col in schema.names else None
+    if id_field is None:
+        raise ValueError(f"hash_split: no column {id_col!r}")
+    use_str = (pa.types.is_string(id_field.type)
+               or pa.types.is_large_string(id_field.type))
+    if not use_str and not pa.types.is_integer(id_field.type):
+        raise TypeError(
+            f"hash_split: {id_col!r} must be integer- or string-typed "
+            f"for a SQL-reproducible hash, got {id_field.type}")
+    names = list(fractions)
+    # cumulative upper bounds; the last is +inf so the float tail of
+    # the sum can never leave a row unassigned
+    cuts = np.cumsum([fractions[n] for n in names]).astype(np.float64)
+    cuts[-1] = np.inf
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pandas()
+        if ids.isna().any():
+            raise ValueError(f"hash_split: {id_col!r} contains nulls")
+        h = (sample_hash_str(ids.to_numpy(), seed) if use_str
+             else sample_hash(ids.to_numpy(), seed))
+        u = h.astype(np.float64) / _U64_SPAN
+        # side='left': first cut >= u wins, so u EXACTLY on a boundary
+        # stays in the earlier split — matching the SQL twin's '<='
+        idx = np.searchsorted(cuts, u, side="left")
+        vals = np.asarray(names, dtype=object)[idx]
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col,
+                               pa.array(vals.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hash_split_sql_case(id_col: str, fractions: dict[str, float],
+                        seed: int = 42,
+                        string_id: bool = False) -> str:
+    """CASE expression mirroring :func:`hash_split` — the same
+    cumulative boundaries compared in the same double domain. Boundary
+    semantics pinned: a u EXACTLY equal to a cut stays in the EARLIER
+    split ('<=' here, searchsorted side='left' there)."""
+    h = (sample_hash_str_sql_expr(id_col, seed) if string_id
+         else sample_hash_sql_expr(id_col, seed))
+    u = f"(CAST({h} AS DOUBLE) / {_U64_SPAN!r})"
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names]).astype(np.float64)
+    arms = "".join(
+        f" WHEN {u} <= {c!r} THEN '{n}'"
+        for n, c in zip(names[:-1], cum[:-1]))
+    return f"(CASE{arms} ELSE '{names[-1]}' END)"

@@ -109,3 +109,50 @@ def test_bernoulli_sample_rejects_float_ids():
     df = DF.assign(fid=DF["doc_id"].astype("float64"))
     with pytest.raises(TypeError, match="integer- or"):
         bernoulli_sample(rd.from_pandas(df), "fid", 0.5)
+
+
+def test_hash_split_matches_duckdb_and_partitions_everything():
+    from raylink.ranking import hash_split, hash_split_sql_case
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = (hash_split(rd.from_pandas(DF), "doc_id", fr, seed=13)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", DF)
+    want = con.execute(
+        "SELECT doc_id, "
+        + hash_split_sql_case("doc_id", fr, seed=13)
+        + " AS split FROM docs ORDER BY doc_id").fetchdf()
+    assert (got["split"].to_numpy() == want["split"].to_numpy()).all()
+    assert set(got["split"]) <= set(fr)
+    assert len(got) == len(DF)            # every row assigned
+    # string-id variant agrees with its twin too
+    df2 = DF.assign(url=[f"u{i}" for i in range(len(DF))])
+    gs = (hash_split(rd.from_pandas(df2), "url", fr, seed=13)
+          .to_pandas().sort_values("url").reset_index(drop=True))
+    con.register("docs2", df2)
+    ws = con.execute(
+        "SELECT url, "
+        + hash_split_sql_case("url", fr, seed=13, string_id=True)
+        + " AS split FROM docs2 ORDER BY url").fetchdf()
+    assert (gs["split"].to_numpy() == ws["split"].to_numpy()).all()
+
+
+def test_hash_split_is_stable_under_corpus_growth():
+    from raylink.ranking import hash_split
+
+    fr = {"train": 0.75, "test": 0.25}
+    small = (hash_split(rd.from_pandas(DF.head(20)), "doc_id", fr)
+             .to_pandas().set_index("doc_id")["split"])
+    grown = (hash_split(rd.from_pandas(DF), "doc_id", fr)
+             .to_pandas().set_index("doc_id")["split"])
+    # docs present in both corpora keep their assignment
+    assert (grown.loc[small.index] == small).all()
+
+
+def test_hash_split_rejects_bad_fractions():
+    from raylink.ranking import hash_split
+
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(rd.from_pandas(DF), "doc_id",
+                   {"a": 0.5, "b": 0.4})
