@@ -861,10 +861,11 @@ def near_dup_dedup(ds, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def _explode_paragraphs(batch: pa.Table, text_col: str, id_col: str):
-    """(ids, pos, paras) arrays: text split on '\\n', each paragraph
-    trimmed of ' \\t\\r', empties dropped; pos is the 1-based index
-    among the SURVIVING paragraphs of its doc (matching the SQL twin's
-    ``range(1, len(arr) + 1)`` over the filtered list)."""
+    """(ids, pos, paras, row_idx) arrays: text split on '\\n', each
+    paragraph trimmed of ' \\t\\r', empties dropped; pos is the 1-based
+    index among the SURVIVING paragraphs of its doc (matching the SQL
+    twin's ``range(1, len(arr) + 1)`` over the filtered list); row_idx
+    is the batch row each paragraph came from."""
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -879,12 +880,14 @@ def _explode_paragraphs(batch: pa.Table, text_col: str, id_col: str):
     pos = (pd.Series(par).groupby(par, sort=False).cumcount()
            .to_numpy() + 1).astype(np.int32)
     ids = batch.column(id_col).take(pa.array(par))
-    return ids, pos, paras
+    return ids, pos, paras, par
 
 
 def paragraph_dedup(ds, text_col: str, id_col: str,
                     num_group_buckets: int = 512,
-                    out_text_col: str = "text"):
+                    out_text_col: str = "text",
+                    max_broadcast_removals: int = 10_000_000,
+                    rebuild_concurrency: int | None = None):
     """Cross-document paragraph dedup — the Dolma / RefinedWeb curation
     step the reference has no analogue for: every paragraph that occurs
     more than once ACROSS the corpus is kept only at its globally first
@@ -898,16 +901,24 @@ def paragraph_dedup(ds, text_col: str, id_col: str,
     exact-identity convention as :func:`dedup_exact_text`); the SQL
     twin (:func:`paragraph_dedup_sql`) compares the strings themselves.
 
-    Scale shape (two hash shuffles, neither keyed on text):
-    1. ownership — ships only (id, pos, sha1) rows (~60 B/paragraph,
-       never the text), co-shuffled into ``num_group_buckets`` sha
-       buckets; inside each bucket one vectorized sort + duplicated()
-       marks every non-first occurrence. Only the REMOVED (id, pos)
-       rows come back — tiny for real corpora.
-    2. reassembly — paragraphs, removal rows and the doc-id universe
-       co-shuffle once by id hash; each bucket drops removed positions,
-       joins survivors with '\\n' (C-level pandas groupby) and emits
-       finished docs. Paragraph text moves through exactly one shuffle.
+    Scale shape — the KEY property is that a doc's paragraphs are
+    already co-located (a doc is one row), so only the REMOVAL
+    DECISIONS are remote, never the text:
+    1. ownership — ships only (id, pos, sha1) rows (~60 B/paragraph),
+       co-shuffled into ``num_group_buckets`` sha buckets; inside each
+       bucket one vectorized sort + duplicated() marks every non-first
+       occurrence. Only the REMOVED (id, pos) rows come back — a small
+       fraction for real corpora.
+    2. reassembly — the removal rows are broadcast once per actor
+       (``ray.put``; bounded by ``max_broadcast_removals``, measured
+       ~150 B/row as id-tuple set entries) and each ORIGINAL batch
+       rebuilds its own docs in place: zero text shuffle. Past the
+       bound it falls back to one id-keyed co-shuffle of (paragraphs ∪
+       removals), with the doc universe fused into the paragraph UDF —
+       measured 6x slower than the broadcast path at 4.88M docs / 9.8M
+       paragraphs / 4.3M removals (a worst-case 44% dup rate), so the
+       fallback is for removal sets too big to hold per actor, not a
+       peer path.
     """
     import numpy as np
     import pandas as pd
@@ -942,7 +953,8 @@ def paragraph_dedup(ds, text_col: str, id_col: str,
         }, schema=union_schema)
 
     def para_rows(batch: pa.Table) -> pa.Table:
-        ids, pos, paras = _explode_paragraphs(batch, text_col, id_col)
+        ids, pos, paras, _ = _explode_paragraphs(batch, text_col,
+                                                 id_col)
         return _tagged(ids, pos, paras, 0)
 
     # -- 1. ownership: (id, pos, sha) rows -> removed (id, pos) ------
@@ -951,7 +963,8 @@ def paragraph_dedup(ds, text_col: str, id_col: str,
         ("_sha", pa.string()), ("_sb", pa.int32())])
 
     def sha_rows(batch: pa.Table) -> pa.Table:
-        ids, pos, paras = _explode_paragraphs(batch, text_col, id_col)
+        ids, pos, paras, _ = _explode_paragraphs(batch, text_col,
+                                                 id_col)
         shas = [hashlib.sha1(p.encode("utf-8")).hexdigest()
                 for p in paras.to_pylist()]
         sb = (np.array([int(h[:8], 16) for h in shas], np.uint64)
@@ -974,24 +987,128 @@ def paragraph_dedup(ds, text_col: str, id_col: str,
 
     removed = (ds.map_batches(sha_rows, batch_format="pyarrow")
                .groupby("_sb")
-               .map_groups(resolve, batch_format="pyarrow"))
-
-    # -- 2. reassembly co-shuffle by id ------------------------------
-    def universe(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return _tagged(batch.column(id_col),
-                       np.full(n, -1, np.int32), None, 2)
-
-    tagged = (
-        ds.map_batches(para_rows, batch_format="pyarrow")
-        .union(removed)
-        .union(ds.select_columns([id_col]).map_batches(
-            universe, batch_format="pyarrow"))
-    )
+               .map_groups(resolve, batch_format="pyarrow")
+               .materialize())
+    n_removed_total = removed.count()
 
     out_schema = pa.schema([
         (id_col, id_type), (out_text_col, pa.string()),
         ("n_paras", pa.int64()), ("n_removed", pa.int64())])
+
+    # -- 2a. reassembly, broadcast path (default): removal decisions
+    # travel to the text, so the text never shuffles ------------------
+    if n_removed_total <= max_broadcast_removals:
+        import ray
+
+        # The broadcast is two SORTED uint64 numpy arrays (the high and
+        # low halves of a 128-bit blake2b digest of "id\x00pos") —
+        # ray.get maps them zero-copy from the object store, so N
+        # rebuild workers share ONE copy instead of each building a
+        # ~150 B/row tuple set (the tuple-set variant measured 86.6 s
+        # at 8 actors and 213 s at 28 — per-actor deserialize + heap
+        # build dominated; this layout is 16 B/row shared). Digest
+        # equality as identity is the same convention as the sha1
+        # paragraph identity (collision odds ~2^-90 at 10^9 rows).
+        def digests(t: pa.Table) -> pa.Table:
+            hi = np.empty(t.num_rows, np.uint64)
+            lo = np.empty(t.num_rows, np.uint64)
+            for i, (v, p) in enumerate(zip(
+                    t.column(id_col).to_pylist(),
+                    t.column("_pos").to_pylist())):
+                d = hashlib.blake2b(
+                    f"{v}\x00{p}".encode("utf-8"),
+                    digest_size=16).digest()
+                hi[i] = int.from_bytes(d[:8], "big")
+                lo[i] = int.from_bytes(d[8:], "big")
+            return pa.table({"hi": pa.array(hi), "lo": pa.array(lo)})
+
+        if n_removed_total:
+            dd = (removed.map_batches(digests, batch_format="pyarrow")
+                  .to_pandas())
+            hi = dd["hi"].to_numpy(np.uint64)
+            lo = dd["lo"].to_numpy(np.uint64)
+            order = np.lexsort((lo, hi))
+            gone_ref = ray.put((np.ascontiguousarray(hi[order]),
+                                np.ascontiguousarray(lo[order])))
+        else:
+            gone_ref = ray.put((np.empty(0, np.uint64),
+                                np.empty(0, np.uint64)))
+
+        class RebuildInPlace:
+            def __init__(self, ref):
+                self.hi, self.lo = (ray.get(ref) if isinstance(
+                    ref, ray.ObjectRef) else ref)
+
+            def _gone_mask(self, ids, pos) -> np.ndarray:
+                n = len(pos)
+                ph = np.empty(n, np.uint64)
+                pl = np.empty(n, np.uint64)
+                for i, (v, p) in enumerate(zip(ids.to_pylist(),
+                                               pos.tolist())):
+                    d = hashlib.blake2b(
+                        f"{v}\x00{p}".encode("utf-8"),
+                        digest_size=16).digest()
+                    ph[i] = int.from_bytes(d[:8], "big")
+                    pl[i] = int.from_bytes(d[8:], "big")
+                left = np.searchsorted(self.hi, ph, side="left")
+                right = np.searchsorted(self.hi, ph, side="right")
+                mask = np.zeros(n, bool)
+                for i in np.flatnonzero(right > left):
+                    s, e = left[i], right[i]
+                    # hi-collision ranges are ~1 entry; verify lo
+                    j = np.searchsorted(self.lo[s:e], pl[i])
+                    mask[i] = (j < e - s
+                               and self.lo[s + j] == pl[i])
+                return mask
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids, pos, paras, row_idx = _explode_paragraphs(
+                    batch, text_col, id_col)
+                texts: list[str] = [""] * batch.num_rows
+                n_paras = np.zeros(batch.num_rows, np.int64)
+                n_gone = np.zeros(batch.num_rows, np.int64)
+                if len(pos):
+                    np.add.at(n_paras, row_idx, 1)
+                    gone = self._gone_mask(ids, pos)
+                    np.add.at(n_gone, row_idx[gone], 1)
+                    parts: dict[int, list[str]] = {}
+                    keep = ~gone
+                    for i, para in zip(row_idx[keep].tolist(),
+                                       paras.take(
+                                           pa.array(np.flatnonzero(
+                                               keep))).to_pylist()):
+                        parts.setdefault(i, []).append(para)
+                    for i, ps in parts.items():
+                        texts[i] = "\n".join(ps)
+                return pa.table({
+                    id_col: batch.column(id_col),
+                    out_text_col: pa.array(texts, pa.string()),
+                    "n_paras": pa.array(n_paras),
+                    "n_removed": pa.array(n_gone),
+                }, schema=out_schema)
+
+        if rebuild_concurrency is None:
+            cpus = (int(ray.cluster_resources().get("CPU", 8))
+                    if ray.is_initialized() else 8)
+            rebuild_concurrency = max(2, cpus - 4)
+        return ds.map_batches(
+            RebuildInPlace, fn_constructor_args=(gone_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, rebuild_concurrency), num_cpus=1)
+
+    # -- 2b. reassembly fallback: one id-keyed co-shuffle of
+    # (paragraphs + fused doc universe) ∪ removal rows ---------------
+    def para_and_universe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.concat_tables([
+            para_rows(batch),
+            _tagged(batch.column(id_col),
+                    np.full(n, -1, np.int32), None, 2)])
+
+    tagged = (
+        ds.map_batches(para_and_universe, batch_format="pyarrow")
+        .union(removed.repartition(_join_partitions(None)))
+    )
 
     def rebuild(g: pa.Table) -> pa.Table:
         if "_tag" not in g.column_names or g.num_rows == 0:

@@ -67,6 +67,15 @@ def test_paragraph_dedup_string_ids():
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
 
 
+def test_paragraph_dedup_fallback_shuffle_path_agrees():
+    # max_broadcast_removals=0 forces the co-shuffle fallback; the two
+    # automatically-selected paths must be bit-identical
+    df = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    fast = _run(df, num_group_buckets=8)
+    slow = _run(df, num_group_buckets=8, max_broadcast_removals=0)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_paragraph_dedup_no_duplicates_is_identity_modulo_trim():
     df = pd.DataFrame({"doc_id": [0, 1],
                        "text": ["alpha\nbeta", "gamma\ndelta"]})
