@@ -543,3 +543,108 @@ def top_frequent_exact(ds, col: str, m: int, k: int | None = None,
             f"returned count {floor} is within the summary error bound "
             f"{err}; re-run with a larger k (current k={k})")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: approximate frequencies with a certified overcount
+# bound — the point-query companion to Misra-Gries' heavy hitters
+# ---------------------------------------------------------------------------
+#
+# Cormode & Muthukrishnan, "An improved data stream summary: the
+# count-min sketch and its applications" (J. Algorithms 2005). Depth d
+# = ceil(ln(1/delta)) rows of width w = ceil(e/eps) counters; row j
+# counts values at position (h1 + j*h2) mod w (the Kirsch-Mitzenmacher
+# double-hashing trick shared with the Bloom filter, so row hashes
+# never collapse for numeric dtypes). Per-block partials are d x w
+# int64 matrices that merge by elementwise SUM — associative and
+# commutative, so any tree-merge order gives the bit-identical sketch
+# (pytest pins repartition(2) == repartition(16)). Guarantees:
+# estimate(x) >= true(x) always, and estimate(x) <= true(x) + eps*N
+# with probability >= 1 - delta. Only O(d*w) bytes reach the driver.
+
+
+def cm_params(eps: float, delta: float) -> tuple[int, int]:
+    """(depth, width) for an eps*N overcount bound at confidence
+    1 - delta."""
+    if not (0 < eps < 1 and 0 < delta < 1):
+        raise ValueError("cm_params: need 0 < eps,delta < 1")
+    d = int(np.ceil(np.log(1.0 / delta)))
+    w = int(np.ceil(np.e / eps))
+    return max(d, 1), max(w, 1)
+
+
+def _cm_positions(vals, depth: int, width: int) -> np.ndarray:
+    """(depth, n) counter positions via double hashing over the
+    null-stable hash (blocks.stable_hash_array when given an Arrow
+    column, pd.util.hash_array path for raw numpy)."""
+    from .blocks import stable_hash_array
+
+    if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+        h1 = stable_hash_array(vals)
+    else:
+        h1 = np.asarray(pd.util.hash_array(
+            np.asarray(vals), categorize=False), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = h1 ^ (h1 >> np.uint64(33))
+        h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
+        h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)
+        js = np.arange(depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + js * h2[None, :])
+                % np.uint64(width)).astype(np.int64)
+
+
+def cm_build(ds, col: str, eps: float = 0.001, delta: float = 0.01,
+             combine_size: int = 64):
+    """Build the sketch over ``ds[col]`` -> dict with the (d, w) int64
+    counter matrix, total row count N, and the parameters. Same
+    two-level partial -> tree-combine -> driver-merge shape as
+    hll_count_distinct; nulls are skipped (they are not a value)."""
+    import pyarrow.compute as pc
+
+    depth, width = cm_params(eps, delta)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = np.zeros((depth, width), np.int64)
+        colv = t.column(col).drop_null()
+        n = len(colv)
+        if n:
+            pos = _cm_positions(colv, depth, width)
+            for j in range(depth):
+                np.add.at(counts[j], pos[j], 1)
+        return pa.table({
+            "cm": pa.array([counts.tobytes()], pa.binary()),
+            "n": pa.array([n], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros((depth, width), np.int64)
+        for b in t.column("cm").to_pylist():
+            acc += np.frombuffer(b, np.int64).reshape(depth, width)
+        n = int(pc.sum(t.column("n")).as_py() or 0)
+        return pa.table({
+            "cm": pa.array([acc.tobytes()], pa.binary()),
+            "n": pa.array([n], pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=combine_size)
+            .take_all())
+    acc = np.zeros((depth, width), np.int64)
+    n = 0
+    for r in rows:
+        acc += np.frombuffer(r["cm"], np.int64).reshape(depth, width)
+        n += int(r["n"])
+    return {"counts": acc, "n": n, "depth": depth, "width": width,
+            "eps": eps, "delta": delta}
+
+
+def cm_query(sketch: dict, values) -> np.ndarray:
+    """Vectorized point estimates: min over rows of the value's
+    counter. Always >= the true count; <= true + eps*N w.p. 1-delta."""
+    counts = sketch["counts"]
+    depth, width = sketch["depth"], sketch["width"]
+    vals = np.asarray(values)
+    pos = _cm_positions(vals, depth, width)
+    est = counts[0][pos[0]]
+    for j in range(1, depth):
+        est = np.minimum(est, counts[j][pos[j]])
+    return est

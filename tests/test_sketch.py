@@ -269,3 +269,63 @@ def test_top_frequent_exact_fewer_distinct_than_m(ray_session):
     got = top_frequent_exact(rd.from_pandas(df), "v", m=10, k=50)
     assert got["v"].tolist() == [7, 5, 9]
     assert got["count"].tolist() == [3, 2, 1]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_count_min_never_undercounts_and_bound_holds():
+    import numpy as np
+    import duckdb
+
+    rng = np.random.default_rng(4)
+    vals = rng.zipf(1.6, 40_000)
+    vals = vals[vals < 10_000].astype("int64")
+    df = pd.DataFrame({"v": vals})
+    from raylink.sketch import cm_build, cm_query
+
+    sk = cm_build(rd.from_pandas(df), "v", eps=0.005, delta=0.01)
+    assert sk["n"] == len(df)
+    con = duckdb.connect()
+    con.register("t", df)
+    truth = con.execute(
+        "SELECT v, COUNT(*) n FROM t GROUP BY v").fetchdf()
+    est = cm_query(sk, truth["v"].to_numpy())
+    true_n = truth["n"].to_numpy()
+    assert (est >= true_n).all()                      # never undercounts
+    bound = sk["eps"] * sk["n"]
+    frac_ok = ((est - true_n) <= bound).mean()
+    assert frac_ok >= 1 - sk["delta"]                 # eps*N bound
+    # heavy hitters are estimated nearly exactly
+    top = truth.sort_values("n", ascending=False).head(5)
+    assert (cm_query(sk, top["v"].to_numpy())
+            <= top["n"].to_numpy() + bound).all()
+
+
+def test_count_min_partitioning_invariance():
+    import numpy as np
+
+    from raylink.sketch import cm_build
+
+    df = pd.DataFrame({"v": (np.arange(5000) % 97).astype("int64")})
+    a = cm_build(rd.from_pandas(df).repartition(2), "v",
+                 eps=0.01, delta=0.05)
+    b = cm_build(rd.from_pandas(df).repartition(16), "v",
+                 eps=0.01, delta=0.05)
+    assert a["n"] == b["n"] == 5000
+    assert (a["counts"] == b["counts"]).all()         # bit-identical
+
+
+def test_count_min_string_values_and_nulls():
+    from raylink.sketch import cm_build, cm_query
+
+    df = pd.DataFrame({"v": (["alpha"] * 30 + ["beta"] * 7
+                             + [None] * 5 + ["gamma"] * 1)})
+    sk = cm_build(rd.from_pandas(df), "v", eps=0.01, delta=0.01)
+    assert sk["n"] == 38                               # nulls skipped
+    import numpy as np
+    est = cm_query(sk, np.array(["alpha", "beta", "gamma"],
+                                dtype=object))
+    assert (est >= np.array([30, 7, 1])).all()
+    assert (est <= np.array([30, 7, 1]) + sk["eps"] * sk["n"]).all()
