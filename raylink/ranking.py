@@ -326,3 +326,97 @@ def hash_split_sql_case(id_col: str, fractions: dict[str, float],
         f" WHEN {u} <= {c!r} THEN '{n}'"
         for n, c in zip(names[:-1], cum[:-1]))
     return f"(CASE{arms} ELSE '{names[-1]}' END)"
+
+
+# ---------------------------------------------------------------------------
+# deterministic sequence packing (training-batch preparation)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, id_col: str, tokens_col: str, budget: int,
+                   num_partitions: int = 256):
+    """Assign every doc to a (pack_partition, bin) so each bin's token
+    sum fits ``budget`` — the sequence-packing step before writing
+    training shards. Deterministic and parallelism-invariant:
+    partition = id-hash % num_partitions (each partition packs
+    independently — the cluster-wide contract at 100 TB), and within a
+    partition docs pack FIRST-FIT-DECREASING over the (tokens DESC,
+    id ASC) order, so reruns and re-blockings give the identical
+    assignment. Docs with tokens > budget get a solo bin and
+    ``oversize=True`` (flagged, not dropped — the caller decides to
+    chunk or skip; compose with textstats.chunk_documents upstream to
+    avoid them entirely).
+
+    Only (id, tokens) rows shuffle — never text. Returns (id,
+    pack_partition, bin, bin_tokens, oversize); join back on id for
+    payloads. FFD uses <= (11/9)*OPT + 6/9 bins per partition
+    (Dosa 2007), an invariant the tests assert against the
+    ceil(total/budget) lower bound."""
+    from .blocks import dataset_schema, stable_hash_array
+
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    sch = dataset_schema(ds)
+    for c in (id_col, tokens_col):
+        if c not in sch.names:
+            raise ValueError(f"pack_sequences: no column {c!r}")
+    id_type = sch.field(id_col).type
+    nb = np.uint64(num_partitions)
+    out_schema = pa.schema([
+        (id_col, id_type), ("pack_partition", pa.int32()),
+        ("bin", pa.int32()), ("bin_tokens", pa.int64()),
+        ("oversize", pa.bool_())])
+
+    def project(t: pa.Table) -> pa.Table:
+        b = (stable_hash_array(t.column(id_col)) % nb).astype(np.int32)
+        return pa.table({
+            id_col: t[id_col],
+            "_tok": t.column(tokens_col).cast(pa.int64()),
+            "_pp": pa.array(b),
+        })
+
+    def pack(g: pa.Table) -> pa.Table:
+        if "_tok" not in g.column_names or g.num_rows == 0:
+            return out_schema.empty_table()
+        import pandas as pd
+
+        df = g.to_pandas()
+        out_bin = np.empty(len(df), np.int32)
+        out_load = {}
+        for pp, part in df.groupby("_pp", sort=False):
+            order = part.sort_values(
+                ["_tok", id_col], ascending=[False, True],
+                kind="mergesort")
+            loads: list[int] = []
+            for ridx, tok in zip(order.index.to_numpy(),
+                                 order["_tok"].to_numpy()):
+                placed = -1
+                if tok <= budget:
+                    for bi, ld in enumerate(loads):
+                        if ld + tok <= budget:
+                            placed = bi
+                            break
+                if placed < 0:
+                    placed = len(loads)
+                    loads.append(0)
+                loads[placed] += int(tok)
+                # to_pandas() gives a RangeIndex, so the label IS the
+                # positional index
+                out_bin[ridx] = placed
+            out_load[int(pp)] = loads
+        bins = out_bin
+        pps = df["_pp"].to_numpy()
+        toks = df["_tok"].to_numpy()
+        bin_tokens = np.fromiter(
+            (out_load[int(p)][b] for p, b in zip(pps, bins)),
+            np.int64, len(df))
+        return pa.table({
+            id_col: pa.array(df[id_col].tolist(), id_type),
+            "pack_partition": pa.array(pps.astype(np.int32)),
+            "bin": pa.array(bins),
+            "bin_tokens": pa.array(bin_tokens),
+            "oversize": pa.array(toks > budget),
+        }, schema=out_schema)
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_pp")
+            .map_groups(pack, batch_format="pyarrow"))

@@ -156,3 +156,61 @@ def test_hash_split_rejects_bad_fractions():
     with pytest.raises(ValueError, match="sum"):
         hash_split(rd.from_pandas(DF), "doc_id",
                    {"a": 0.5, "b": 0.4})
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def _pack_df(n=300, seed=8):
+    r = random.Random(seed)
+    return pd.DataFrame({
+        "doc_id": range(n),
+        "tok": [r.randint(1, 900) for _ in range(n)]})
+
+
+def test_pack_sequences_invariants():
+    from raylink.ranking import pack_sequences
+
+    df = _pack_df()
+    budget = 1024
+    got = (pack_sequences(rd.from_pandas(df), "doc_id", "tok", budget,
+                          num_partitions=8)
+           .to_pandas())
+    # every doc assigned exactly once
+    assert sorted(got["doc_id"]) == sorted(df["doc_id"])
+    merged = got.merge(df, on="doc_id")
+    # per-bin sums respect the budget (no oversize docs here)
+    sums = merged.groupby(["pack_partition", "bin"])["tok"].sum()
+    assert (sums <= budget).all()
+    assert not merged["oversize"].any()
+    # bin_tokens column reports the final bin load
+    lookup = sums.to_dict()
+    assert all(lookup[(p, b)] == bt for p, b, bt in zip(
+        merged["pack_partition"], merged["bin"],
+        merged["bin_tokens"]))
+    # FFD quality: per partition, bins <= ceil(11/9 * LB) + 1
+    import math
+    for p, part in merged.groupby("pack_partition"):
+        lb = math.ceil(part["tok"].sum() / budget)
+        nbins = part["bin"].nunique()
+        assert nbins <= math.ceil(11 / 9 * lb) + 1, (p, nbins, lb)
+
+
+def test_pack_sequences_oversize_and_determinism():
+    from raylink.ranking import pack_sequences
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "tok": [5000, 10, 20, 30]})
+    got = (pack_sequences(rd.from_pandas(df), "doc_id", "tok", 100,
+                          num_partitions=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["oversize"].tolist() == [True, False, False, False]
+    solo = got[got["doc_id"] == 1]
+    others = got[got["doc_id"] != 1]
+    assert not set(solo["bin"]) & set(others["bin"])  # solo bin
+    # parallelism invariance: identical assignment under re-blocking
+    again = (pack_sequences(rd.from_pandas(df).repartition(3),
+                            "doc_id", "tok", 100, num_partitions=1)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
