@@ -901,6 +901,14 @@ def paragraph_dedup(ds, text_col: str, id_col: str,
     exact-identity convention as :func:`dedup_exact_text`); the SQL
     twin (:func:`paragraph_dedup_sql`) compares the strings themselves.
 
+    CONTRACT: ``id_col`` values must be unique across the corpus (the
+    same id-uniqueness contract as the near-dup operators' payload
+    join). With duplicated ids the broadcast path cannot tell the kept
+    occurrence from the removed one — both rows share the (id, pos)
+    digest — and would drop the paragraph from EVERY copy
+    (code-review r4); run :func:`dedup_exact_text` on the id first if
+    uniqueness is not guaranteed.
+
     Scale shape — the KEY property is that a doc's paragraphs are
     already co-located (a doc is one row), so only the REMOVAL
     DECISIONS are remote, never the text:

@@ -203,6 +203,35 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
 _U64_SPAN = 18446744073709551616.0  # 2^64 as an exact double
 
 
+def _require_hashable_id(ds, id_col: str, op: str) -> bool:
+    """Shared guard for the uniform-hash operators (bernoulli_sample /
+    hash_split): the id column must exist and be integer- or
+    string-typed for a SQL-reproducible hash. Returns use_str."""
+    schema = _pa_schema(ds)
+    id_field = schema.field(id_col) if id_col in schema.names else None
+    if id_field is None:
+        raise ValueError(f"{op}: no column {id_col!r}")
+    use_str = (pa.types.is_string(id_field.type)
+               or pa.types.is_large_string(id_field.type))
+    if not use_str and not pa.types.is_integer(id_field.type):
+        raise TypeError(
+            f"{op}: {id_col!r} must be integer- or string-typed for a "
+            f"SQL-reproducible hash, got {id_field.type}")
+    return use_str
+
+
+def _uniform_of(col, seed: int, use_str: bool, op: str,
+                id_col: str) -> np.ndarray:
+    """uniform(id) = CAST(hash AS DOUBLE) / 2^64 — the pinned formula
+    both SQL twins reproduce; nulls rejected loudly."""
+    ids = col.to_pandas()
+    if ids.isna().any():
+        raise ValueError(f"{op}: {id_col!r} contains nulls")
+    h = (sample_hash_str(ids.to_numpy(), seed) if use_str
+         else sample_hash(ids.to_numpy(), seed))
+    return h.astype(np.float64) / _U64_SPAN
+
+
 def bernoulli_sample(ds, id_col: str, rate, seed: int = 42):
     """Keep each row iff ``uniform(id) < rate`` where ``uniform(id) =
     CAST(hash AS DOUBLE) / 2^64`` over the same seed-keyed hash rank as
@@ -224,27 +253,12 @@ def bernoulli_sample(ds, id_col: str, rate, seed: int = 42):
     Unlike Ray's ``random_sample`` this is content-keyed, hence stable
     across runs and resumable-safe (see raylink-perf notes on
     random_sample's block-boundary dependence)."""
-    schema = _pa_schema(ds)
-    id_field = schema.field(id_col) if id_col in schema.names else None
-    if id_field is None:
-        raise ValueError(f"bernoulli_sample: no column {id_col!r}")
-    use_str = (pa.types.is_string(id_field.type)
-               or pa.types.is_large_string(id_field.type))
-    if not use_str and not pa.types.is_integer(id_field.type):
-        raise TypeError(
-            f"bernoulli_sample: {id_col!r} must be integer- or "
-            f"string-typed for a SQL-reproducible hash, got "
-            f"{id_field.type}")
+    use_str = _require_hashable_id(ds, id_col, "bernoulli_sample")
     rate_col = rate if isinstance(rate, str) else None
 
     def keep(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pandas()
-        if ids.isna().any():
-            raise ValueError(
-                f"bernoulli_sample: {id_col!r} contains nulls")
-        h = (sample_hash_str(ids.to_numpy(), seed) if use_str
-             else sample_hash(ids.to_numpy(), seed))
-        u = h.astype(np.float64) / _U64_SPAN
+        u = _uniform_of(t.column(id_col), seed, use_str,
+                        "bernoulli_sample", id_col)
         r = (np.asarray(t.column(rate_col), dtype=np.float64)
              if rate_col else float(rate))
         return t.filter(pa.array(u < r))
@@ -275,16 +289,7 @@ def hash_split(ds, id_col: str, fractions: dict[str, float],
     if abs(total - 1.0) > 1e-9:
         raise ValueError(
             f"hash_split: fractions sum to {total}, expected 1.0")
-    schema = _pa_schema(ds)
-    id_field = schema.field(id_col) if id_col in schema.names else None
-    if id_field is None:
-        raise ValueError(f"hash_split: no column {id_col!r}")
-    use_str = (pa.types.is_string(id_field.type)
-               or pa.types.is_large_string(id_field.type))
-    if not use_str and not pa.types.is_integer(id_field.type):
-        raise TypeError(
-            f"hash_split: {id_col!r} must be integer- or string-typed "
-            f"for a SQL-reproducible hash, got {id_field.type}")
+    use_str = _require_hashable_id(ds, id_col, "hash_split")
     names = list(fractions)
     # cumulative upper bounds; the last is +inf so the float tail of
     # the sum can never leave a row unassigned
@@ -292,12 +297,8 @@ def hash_split(ds, id_col: str, fractions: dict[str, float],
     cuts[-1] = np.inf
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pandas()
-        if ids.isna().any():
-            raise ValueError(f"hash_split: {id_col!r} contains nulls")
-        h = (sample_hash_str(ids.to_numpy(), seed) if use_str
-             else sample_hash(ids.to_numpy(), seed))
-        u = h.astype(np.float64) / _U64_SPAN
+        u = _uniform_of(t.column(id_col), seed, use_str, "hash_split",
+                        id_col)
         # side='left': first cut >= u wins, so u EXACTLY on a boundary
         # stays in the earlier split — matching the SQL twin's '<='
         idx = np.searchsorted(cuts, u, side="left")
@@ -322,8 +323,10 @@ def hash_split_sql_case(id_col: str, fractions: dict[str, float],
     u = f"(CAST({h} AS DOUBLE) / {_U64_SPAN!r})"
     names = list(fractions)
     cum = np.cumsum([fractions[n] for n in names]).astype(np.float64)
+    # float(c): a raw numpy scalar's repr becomes 'np.float64(0.8)'
+    # under numpy >= 2.0 — invalid SQL (code-review r4)
     arms = "".join(
-        f" WHEN {u} <= {c!r} THEN '{n}'"
+        f" WHEN {u} <= {float(c)!r} THEN '{n}'"
         for n, c in zip(names[:-1], cum[:-1]))
     return f"(CASE{arms} ELSE '{names[-1]}' END)"
 
@@ -331,6 +334,53 @@ def hash_split_sql_case(id_col: str, fractions: dict[str, float],
 # ---------------------------------------------------------------------------
 # deterministic sequence packing (training-batch preparation)
 # ---------------------------------------------------------------------------
+
+def _first_fit(toks: np.ndarray, budget: int
+               ) -> tuple[np.ndarray, list[int]]:
+    """Leftmost-fit bin assignment in O(n log bins): a max-residual
+    segment tree over bin indices replaces the naive
+    O(docs x bins) scan (code-review r4 — 1M docs averaging budget/10
+    would otherwise make ~10^10 Python iterations in one partition).
+    Chooses the LOWEST-index bin whose residual fits each doc —
+    bit-identical to the linear first-fit it replaces (pinned by
+    test). Docs with tok > budget open a solo bin whose residual goes
+    negative, so it is never reused."""
+    cap = 1
+    tree = np.full(2, -1, dtype=np.int64)  # 1-indexed; leaves at cap+
+    nbins = 0
+    loads: list[int] = []
+    bins = np.empty(len(toks), np.int32)
+    for k, tok in enumerate(toks):
+        tok = int(tok)
+        if tok <= budget and tree[1] >= tok:
+            node = 1
+            while node < cap:  # walk to the leftmost fitting leaf
+                node <<= 1
+                if tree[node] < tok:
+                    node += 1
+            bi = node - cap
+        else:
+            bi = nbins
+            if bi >= cap:  # double the tree, keep leaf residuals
+                new_cap = cap * 2
+                new_tree = np.full(2 * new_cap, -1, np.int64)
+                new_tree[new_cap:new_cap + cap] = tree[cap:2 * cap]
+                for i in range(new_cap - 1, 0, -1):
+                    new_tree[i] = max(new_tree[2 * i],
+                                      new_tree[2 * i + 1])
+                tree, cap = new_tree, new_cap
+            loads.append(0)
+            nbins += 1
+        loads[bi] += tok
+        bins[k] = bi
+        node = cap + bi
+        tree[node] = budget - loads[bi]
+        node >>= 1
+        while node:
+            tree[node] = max(tree[2 * node], tree[2 * node + 1])
+            node >>= 1
+    return bins, loads
+
 
 def pack_sequences(ds, id_col: str, tokens_col: str, budget: int,
                    num_partitions: int = 256):
@@ -379,6 +429,12 @@ def pack_sequences(ds, id_col: str, tokens_col: str, budget: int,
             return out_schema.empty_table()
         import pandas as pd
 
+        if g.column("_tok").null_count:
+            # the loud-guard convention of bernoulli_sample/hash_split:
+            # a null token count would otherwise surface as an obscure
+            # NaN->int error deep in the loop (code-review r4)
+            raise ValueError(
+                f"pack_sequences: {tokens_col!r} contains nulls")
         df = g.to_pandas()
         out_bin = np.empty(len(df), np.int32)
         out_load = {}
@@ -386,22 +442,11 @@ def pack_sequences(ds, id_col: str, tokens_col: str, budget: int,
             order = part.sort_values(
                 ["_tok", id_col], ascending=[False, True],
                 kind="mergesort")
-            loads: list[int] = []
-            for ridx, tok in zip(order.index.to_numpy(),
-                                 order["_tok"].to_numpy()):
-                placed = -1
-                if tok <= budget:
-                    for bi, ld in enumerate(loads):
-                        if ld + tok <= budget:
-                            placed = bi
-                            break
-                if placed < 0:
-                    placed = len(loads)
-                    loads.append(0)
-                loads[placed] += int(tok)
-                # to_pandas() gives a RangeIndex, so the label IS the
-                # positional index
-                out_bin[ridx] = placed
+            bins, loads = _first_fit(
+                order["_tok"].to_numpy(), budget)
+            # to_pandas() gives a RangeIndex, so the label IS the
+            # positional index
+            out_bin[order.index.to_numpy()] = bins
             out_load[int(pp)] = loads
         bins = out_bin
         pps = df["_pp"].to_numpy()

@@ -582,8 +582,14 @@ def _cm_positions(vals, depth: int, width: int) -> np.ndarray:
     if isinstance(vals, (pa.Array, pa.ChunkedArray)):
         h1 = stable_hash_array(vals)
     else:
+        arr = np.asarray(vals)
+        if arr.dtype.kind in "US":
+            # pd.util.hash_array rejects numpy fixed-width unicode /
+            # bytes dtypes ("does not understand character buffer");
+            # plain lists of strings land here (code-review r4)
+            arr = arr.astype(object)
         h1 = np.asarray(pd.util.hash_array(
-            np.asarray(vals), categorize=False), dtype=np.uint64)
+            arr, categorize=False), dtype=np.uint64)
     with np.errstate(over="ignore"):
         h2 = h1 ^ (h1 >> np.uint64(33))
         h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)

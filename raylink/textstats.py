@@ -361,13 +361,21 @@ def _ngram_concat(toks: "np.ndarray", lens: "np.ndarray",
 def _explode_tokens(batch: pa.Table, text_col: str, lower: bool = True):
     """(toks, lens, parent, tok_chars_per_row) for a batch —
     whitespace tokens (lowercased unless ``lower=False``) via Arrow
-    kernels, then numpy views."""
+    kernels, then numpy views.
+
+    Tokenization is ``split_pattern_regex(r'\\s+')`` — Arrow's regex
+    engine is RE2, the SAME engine DuckDB uses for the twins'
+    ``string_split_regex('\\s+')``, so both sides split on ASCII
+    whitespace only. ``utf8_split_whitespace`` (Unicode classes) would
+    silently diverge on U+00A0/U+2028 etc., ubiquitous in web text
+    (code-review r4: NBSP doc measured 666666 vs 315789 on
+    top2gram_char_frac_e6)."""
     import numpy as np
 
     s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
     if lower:
         s = pc.utf8_lower(s)
-    split = pc.utf8_split_whitespace(s)
+    split = pc.split_pattern_regex(s, r"\s+")
     flat = pc.list_flatten(split)
     parent = pc.list_parent_indices(split)
     mask = pc.greater(pc.utf8_length(flat), 0)
@@ -555,8 +563,14 @@ class ContaminationCheck:
         distinct_hits = np.zeros(nrows, np.int64)
         if len(d_idx):
             np.add.at(n_ngrams, d_idx, 1)
-            hit = pd.Series(grams, dtype=object).isin(
-                self.ngrams).to_numpy()
+            # per-gram set probes: Series.isin(frozenset) would rebuild
+            # an O(|benchmark|) hashtable EVERY batch (code-review r4 —
+            # ~1200 rebuilds of a 5M-entry table across a 4.88M-page
+            # run); the frozenset built once in __init__ is already the
+            # right structure, so probe it directly
+            s = self.ngrams
+            hit = np.fromiter((g in s for g in grams), bool,
+                              len(grams))
             np.add.at(hits, d_idx[hit], 1)
             if hit.any():
                 hp = pd.DataFrame({"d": d_idx[hit], "g": grams[hit]})

@@ -104,6 +104,15 @@ def add_url_columns(ds, url_col: str, batch_size: int = 8192):
         urls = batch.column(url_col).to_pylist()
         canon, hosts, doms = [], [], []
         for u in urls:
+            if u is None:
+                # NULL propagates, matching the SQL twin (every DuckDB
+                # function returns NULL on NULL input; '' would fold
+                # missing urls into the schemeless-url group,
+                # code-review r4)
+                canon.append(None)
+                hosts.append(None)
+                doms.append(None)
+                continue
             c, h, d = canonicalize_one(u)
             canon.append(c)
             hosts.append(h)
@@ -128,7 +137,9 @@ def domain_stats(ds, url_col: str, batch_size: int = 8192):
 
     def partial(batch: pa.Table) -> pa.Table:
         urls = batch.column(url_col).to_pylist()
-        rows = [canonicalize_one(u) for u in urls]
+        # NULL urls carry no domain — excluded here AND by the twin's
+        # WHERE url IS NOT NULL (code-review r4)
+        rows = [canonicalize_one(u) for u in urls if u is not None]
         df = pd.DataFrame({"domain": [r[2] for r in rows],
                            "host": [r[1] for r in rows]})
         agg = (df.groupby(["domain", "host"], sort=False)
@@ -209,7 +220,9 @@ def url_canon_sql(table: str, url_col: str, extra_cols: str = "") -> str:
 
 
 def domain_stats_sql(table: str, url_col: str) -> str:
-    """SQL twin of :func:`domain_stats`."""
+    """SQL twin of :func:`domain_stats` (NULL urls carry no domain —
+    excluded on both sides)."""
     return (f"SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages, "
             f"CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts "
-            f"FROM ({url_canon_sql(table, url_col)}) GROUP BY domain")
+            f"FROM ({url_canon_sql(table, url_col)}) "
+            f"WHERE {url_col} IS NOT NULL GROUP BY domain")

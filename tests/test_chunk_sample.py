@@ -214,3 +214,40 @@ def test_pack_sequences_oversize_and_determinism():
                             "doc_id", "tok", 100, num_partitions=1)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_first_fit_segment_tree_equals_linear_scan():
+    from raylink.ranking import _first_fit
+
+    rng = random.Random(12)
+    for budget in (50, 1024):
+        toks = np.array(sorted(
+            (rng.randint(1, int(budget * 1.4)) for _ in range(800)),
+            reverse=True), dtype=np.int64)
+        got_bins, got_loads = _first_fit(toks, budget)
+        # reference linear first-fit
+        loads: list[int] = []
+        ref = []
+        for t in toks:
+            placed = -1
+            if t <= budget:
+                for bi, ld in enumerate(loads):
+                    if ld + t <= budget:
+                        placed = bi
+                        break
+            if placed < 0:
+                placed = len(loads)
+                loads.append(0)
+            loads[placed] += int(t)
+            ref.append(placed)
+        assert got_bins.tolist() == ref
+        assert got_loads == loads
+
+
+def test_pack_sequences_rejects_null_tokens():
+    from raylink.ranking import pack_sequences
+
+    df = pd.DataFrame({"doc_id": [1, 2], "tok": [10.0, np.nan]})
+    with pytest.raises(Exception, match="nulls"):
+        (pack_sequences(rd.from_pandas(df), "doc_id", "tok", 100,
+                        num_partitions=1).to_pandas())

@@ -88,3 +88,48 @@ def test_url_canonicalization_fuzz_parity():
         assert not bad.any(), (
             c, [(urls[i], got[c][i], want[c][i])
                 for i in bad.nonzero()[0][:3]])
+
+
+def test_repetition_signals_unicode_whitespace_parity():
+    # NBSP/U+2028 must tokenize identically on both sides: the Ray
+    # side splits with Arrow's RE2 '\s+' exactly like DuckDB's
+    # string_split_regex (code-review r4: utf8_split_whitespace gave
+    # 666666 vs 315789 on the NBSP doc below)
+    docs = ["foo\u00a0bar foo bar baz qux",
+            "a\u2028b a b c d",
+            "x\u00a0y\nx\u00a0y\nz"]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    cols = ["n_lines", "dup_line_frac_e6", "dup_line_char_frac_e6",
+            "top2gram_char_frac_e6", "top3gram_char_frac_e6",
+            "dup5gram_char_frac_e6"]
+    got = (add_repetition_signals(rd.from_pandas(df), "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.execute(
+        "SELECT doc_id, " + ", ".join(cols) + " FROM ("
+        + repetition_signals_sql("docs", "text")
+        + ") ORDER BY doc_id").fetchdf()
+    for c in cols:
+        assert (got[c].to_numpy().astype("int64")
+                == want[c].to_numpy().astype("int64")).all(), c
+
+
+def test_url_null_propagates_like_sql():
+    df = pd.DataFrame({"url": ["https://a.example/x", None,
+                               "https://b.example/y", None]})
+    got = add_url_columns(rd.from_pandas(df), "url").to_pandas()
+    con = duckdb.connect()
+    con.register("pages", df)
+    want = con.execute(url_canon_sql("pages", "url")).fetchdf()
+    for c in ("url_canon", "host", "domain"):
+        assert got[c].isna().tolist() == want[c].isna().tolist(), c
+    # domain_stats excludes null urls on both sides
+    from raylink.urltools import domain_stats, domain_stats_sql
+    gs = (domain_stats(rd.from_pandas(df), "url")
+          .to_pandas().sort_values("domain").reset_index(drop=True))
+    ws = con.execute("SELECT * FROM ("
+                     + domain_stats_sql("pages", "url")
+                     + ") ORDER BY domain").fetchdf()
+    pd.testing.assert_frame_equal(gs, ws[gs.columns])
+    assert gs["n_pages"].sum() == 2

@@ -329,3 +329,15 @@ def test_count_min_string_values_and_nulls():
                                 dtype=object))
     assert (est >= np.array([30, 7, 1])).all()
     assert (est <= np.array([30, 7, 1]) + sk["eps"] * sk["n"]).all()
+
+
+def test_count_min_accepts_plain_string_lists():
+    from raylink.sketch import cm_build, cm_query
+
+    df = pd.DataFrame({"v": ["a"] * 5 + ["b"] * 2})
+    sk = cm_build(rd.from_pandas(df), "v", eps=0.01, delta=0.01)
+    import numpy as np
+    # a plain list and a numpy '<U' array both work (code-review r4)
+    assert (cm_query(sk, ["a", "b"]) >= np.array([5, 2])).all()
+    assert (cm_query(sk, np.array(["a", "b"]))
+            >= np.array([5, 2])).all()
