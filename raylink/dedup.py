@@ -1191,3 +1191,86 @@ def paragraph_dedup_sql(table: str, text_col: str, id_col: str,
     LEFT JOIN kept k USING ({id_col})
     LEFT JOIN np_ USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot incremental dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_against(new_ds, old_ds, text_col: str, id_col: str,
+                        old_text_col: str | None = None,
+                        fpp: float = 0.01, use_bloom: bool = True,
+                        num_partitions: int | None = None):
+    """Incremental-snapshot dedup: drop every row of ``new_ds`` whose
+    exact text already appears in ``old_ds`` — the "process only what
+    yesterday's crawl didn't have" workflow. Exactness contract: text
+    identity is sha1 (the repo-wide convention); the DuckDB twin is a
+    plain ANTI JOIN on the text (tests/test_paragraph_dedup.py).
+
+    Scale shape: the OLD corpus is never collected — it reduces to a
+    ~10-bits/key Bloom bitmap (HLL-sized, OR tree-merge) broadcast to
+    one streaming filter pass over ``new_ds``. Bloom negatives are
+    DEFINITE keeps (no false negatives), so only the ~fpp false-
+    positive sliver plus the true duplicates enter the exact
+    verification, a sha-keyed shuffle anti-join whose left side is
+    that small candidate set. Text never shuffles; sha strings do."""
+    from .joins import shuffle_anti_join
+    from .sketch import bloom_build, bloom_contains, hll_count_distinct
+
+    old_text_col = old_text_col or text_col
+
+    def add_sha(col):
+        def f(t: pa.Table) -> pa.Table:
+            texts = t.column(col).to_pylist()
+            shas = [hashlib.sha1((x or "").encode("utf-8")).hexdigest()
+                    for x in texts]
+            if "_sha" in t.column_names:
+                t = t.drop_columns(["_sha"])
+            return t.append_column("_sha", pa.array(shas, pa.string()))
+        return f
+
+    old_shas = (old_ds.select_columns([old_text_col])
+                .map_batches(add_sha(old_text_col),
+                             batch_format="pyarrow")
+                .select_columns(["_sha"]))
+    new_sha = new_ds.map_batches(add_sha(text_col),
+                                 batch_format="pyarrow")
+
+    if use_bloom:
+        import ray
+
+        old_shas = old_shas.materialize()  # feeds HLL + bloom + join
+        est = max(16, int(1.2 * hll_count_distinct(old_shas, "_sha")))
+        bitmap, k = bloom_build(old_shas, "_sha", est, fpp=fpp)
+        bm_ref = ray.put(bitmap)
+
+        def split(maybe: bool):
+            def f(t: pa.Table) -> pa.Table:
+                bm = ray.get(bm_ref)
+                vals = (t.column("_sha")
+                        .to_numpy(zero_copy_only=False))
+                mask = bloom_contains(bm, vals.astype(object), k)
+                keep = mask if maybe else ~mask
+                return t.filter(pa.array(keep))
+            return f
+
+        definite = (new_sha.map_batches(split(False),
+                                        batch_format="pyarrow")
+                    .drop_columns(["_sha"]))
+        # candidates are small BY DESIGN (true dups + the fpp sliver),
+        # so materializing is cheap — and necessary: an all-empty
+        # candidate stream would reach the Acero join as schema-less
+        # empty partitions and crash it
+        candidates = new_sha.map_batches(
+            split(True), batch_format="pyarrow").materialize()
+        if candidates.count() == 0:
+            return definite
+        survivors = (shuffle_anti_join(
+            candidates, old_shas, on="_sha",
+            num_partitions=num_partitions)
+            .drop_columns(["_sha"]))
+        return definite.union(survivors)
+
+    return (shuffle_anti_join(new_sha, old_shas, on="_sha",
+                              num_partitions=num_partitions)
+            .drop_columns(["_sha"]))

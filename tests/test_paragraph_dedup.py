@@ -82,3 +82,54 @@ def test_paragraph_dedup_no_duplicates_is_identity_modulo_trim():
     got = _run(df, num_group_buckets=4)
     assert got["text"].tolist() == ["alpha\nbeta", "gamma\ndelta"]
     assert got["n_removed"].sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot incremental dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_exact_against_matches_anti_join():
+    from raylink.dedup import dedup_exact_against
+
+    old = pd.DataFrame({"text": ["seen one", "seen two", None]})
+    new = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["fresh a", "seen one", "fresh b", "seen two",
+                 None,          # null == '' identity, matches old null
+                 "fresh c"]})
+    got = (dedup_exact_against(rd.from_pandas(new),
+                               rd.from_pandas(old), "text", "doc_id",
+                               num_partitions=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("newt", new)
+    con.register("oldt", old)
+    want = con.execute("""
+        SELECT n.* FROM newt n ANTI JOIN oldt o
+        ON coalesce(n.text, '') = coalesce(o.text, '')
+        ORDER BY doc_id""").fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert list(got.columns) == ["doc_id", "text"]
+
+    # bloom path and plain anti-join path agree
+    plain = (dedup_exact_against(rd.from_pandas(new),
+                                 rd.from_pandas(old), "text", "doc_id",
+                                 use_bloom=False, num_partitions=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert plain["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_dedup_exact_against_disjoint_and_total_overlap():
+    from raylink.dedup import dedup_exact_against
+
+    old = pd.DataFrame({"text": ["a", "b"]})
+    disjoint = pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"]})
+    kept = (dedup_exact_against(rd.from_pandas(disjoint),
+                                rd.from_pandas(old), "text", "doc_id",
+                                num_partitions=2).to_pandas())
+    assert sorted(kept["doc_id"]) == [1, 2]
+    total = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+    none = (dedup_exact_against(rd.from_pandas(total),
+                                rd.from_pandas(old), "text", "doc_id",
+                                num_partitions=2).to_pandas())
+    assert len(none) == 0
