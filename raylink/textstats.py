@@ -846,3 +846,128 @@ def chunk_documents_sql(table: str, text_col: str, id_col: str,
            - (chunk_idx - 1) * {s} AS BIGINT) AS n_tokens
     FROM chunks
     """
+
+
+# --- corpus-level repeated n-gram flagging (ExactSubstr-lite) --------
+#
+# The middle ground between paragraph dedup (exact lines) and
+# MinHash (whole-doc near-dup): per doc, what fraction of its DISTINCT
+# word n-grams also occurs in at least one OTHER document. High
+# fractions mark boilerplate/templated docs that survive whole-doc
+# dedup (the signal Lee et al.'s exact-substring dedup thresholds on).
+#
+# Exactness: gram identity is the full md5 hex of the gram string (the
+# repo's sha-style convention — collision odds negligible); the SQL
+# twin compares gram strings directly. Pinned formula:
+#   distinct_ngrams = COUNT(DISTINCT gram) within the doc
+#   repeated_ngrams = COUNT(DISTINCT gram occurring in >= 2 docs)
+#   rep_frac_e6     = floor(1e6 * repeated / distinct)
+# Docs with no tokens emit no row (mirrored by the twin's WHERE).
+#
+# Scale shape: ONE hash shuffle of (doc_id, md5(gram)) rows — grams
+# are doc-distinct BEFORE the shuffle (a doc is one row, so per-batch
+# distinct == global distinct) and every copy of a gram lands in one
+# bucket, where a vectorized value_counts marks the >=2-doc grams and
+# per-doc partials come back; a native Sum groupby folds the partials.
+# Gram text never shuffles — 32-byte hashes do.
+
+
+def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
+                            num_group_buckets: int = 512):
+    """(id, distinct_ngrams, repeated_ngrams, rep_frac_e6) — see
+    module note; SQL twin :func:`corpus_ngram_repetition_sql`."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    nb = np.uint64(num_group_buckets)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        toks, lens, parent, _ = _explode_tokens(batch, text_col)
+        d_idx, grams, _ = _ngram_concat(toks, lens, parent, n)
+        id_type = batch.schema.field(id_col).type
+        schema = pa.schema([(id_col, id_type), ("_gh", pa.string()),
+                            ("_gb", pa.int32())])
+        if not len(d_idx):
+            return schema.empty_table()
+        df = pd.DataFrame({"d": d_idx, "g": grams}).drop_duplicates()
+        uniq, inv = np.unique(df["g"].to_numpy(), return_inverse=True)
+        hexes = np.array([hashlib.md5(g.encode("utf-8")).hexdigest()
+                          for g in uniq], dtype=object)
+        gh = hexes[inv]
+        gb = ((np.array([int(h[:8], 16) for h in hexes], np.uint64)
+               % nb).astype(np.int32))[inv]
+        ids = batch.column(id_col).take(
+            pa.array(df["d"].to_numpy(np.int64)))
+        return pa.table({id_col: ids,
+                         "_gh": pa.array(gh.tolist(), pa.string()),
+                         "_gb": pa.array(gb)}, schema=schema)
+
+    rows = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        id_type = (g.schema.field(id_col).type
+                   if id_col in g.column_names else pa.string())
+        schema = pa.schema([(id_col, id_type), ("tot", pa.int64()),
+                            ("rep", pa.int64())])
+        if "_gh" not in g.column_names or g.num_rows == 0:
+            return schema.empty_table()
+        df = g.select([id_col, "_gh"]).to_pandas()
+        counts = df["_gh"].value_counts()
+        repeated = df["_gh"].map(counts).to_numpy() >= 2
+        agg = (df.assign(rep=repeated.astype(np.int64))
+               .groupby(id_col, sort=False)
+               .agg(tot=("_gh", "size"), rep=("rep", "sum"))
+               .reset_index())
+        return pa.table({
+            id_col: pa.array(agg[id_col].tolist(), id_type),
+            "tot": pa.array(agg["tot"].to_numpy(np.int64)),
+            "rep": pa.array(agg["rep"].to_numpy(np.int64)),
+        }, schema=schema)
+
+    partials = (rows.groupby("_gb")
+                .map_groups(per_bucket, batch_format="pyarrow"))
+    sums = (partials.groupby(id_col)
+            .aggregate(Sum("tot", alias_name="distinct_ngrams"),
+                       Sum("rep", alias_name="repeated_ngrams")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = np.asarray(t.column("distinct_ngrams"), np.float64)
+        rep = np.asarray(t.column("repeated_ngrams"), np.float64)
+        frac = np.floor(1e6 * rep / np.maximum(tot, 1.0)).astype(
+            np.int64)
+        return t.append_column("rep_frac_e6", pa.array(frac))
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_ngram_repetition_sql(table: str, text_col: str,
+                                id_col: str, n: int = 8) -> str:
+    """DuckDB twin of :func:`corpus_ngram_repetition` (string-equality
+    gram identity)."""
+    return rf"""
+    WITH toks AS (
+      SELECT {id_col},
+        list_filter(string_split_regex(lower({text_col}), '\s+'),
+                    t -> t <> '') AS arr
+      FROM {table}
+    ), grams AS (
+      SELECT DISTINCT {id_col}, g FROM (
+        SELECT {id_col},
+          unnest(list_transform(range(1, len(arr) - {n} + 2),
+            i -> array_to_string(arr[i : i + {n - 1}], ' '))) AS g
+        FROM toks)
+    ), rep AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    )
+    SELECT g.{id_col},
+      CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+      CAST(COUNT(r.g) AS BIGINT) AS repeated_ngrams,
+      CAST(FLOOR(1e6 * COUNT(r.g)
+                 / greatest(COUNT(*), 1.0)) AS BIGINT) AS rep_frac_e6
+    FROM grams g LEFT JOIN rep r USING (g)
+    GROUP BY g.{id_col}
+    """

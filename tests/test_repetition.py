@@ -85,3 +85,39 @@ def test_repetition_custom_ns():
     for c in cols:
         assert (got[c].to_numpy().astype("int64")
                 == want[c].to_numpy().astype("int64")).all(), c
+
+
+def test_corpus_ngram_repetition_matches_duckdb():
+    from raylink.textstats import (corpus_ngram_repetition,
+                                   corpus_ngram_repetition_sql)
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "a quick brown fox jumps over a fence today",
+        "totally different content here with nothing shared at all",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "",
+        "short one",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (corpus_ngram_repetition(
+        rd.from_pandas(df).repartition(3), "text", "doc_id", n=3,
+        num_group_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.execute(
+        "SELECT * FROM ("
+        + corpus_ngram_repetition_sql("docs", "text", "doc_id", n=3)
+        + ") ORDER BY doc_id").fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    for c in ("distinct_ngrams", "repeated_ngrams", "rep_frac_e6"):
+        assert (got[c].to_numpy().astype("int64")
+                == want[c].to_numpy().astype("int64")).all(), c
+    # the two identical docs are 100% repeated; the unique doc 0%
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "rep_frac_e6"] == 1_000_000
+    assert by_id.loc[3, "rep_frac_e6"] == 1_000_000
+    assert by_id.loc[2, "rep_frac_e6"] == 0
+    # token-free doc emits no row on either side
+    assert 4 not in by_id.index
