@@ -875,7 +875,15 @@ def chunk_documents_sql(table: str, text_col: str, id_col: str,
 def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
                             num_group_buckets: int = 512):
     """(id, distinct_ngrams, repeated_ngrams, rep_frac_e6) — see
-    module note; SQL twin :func:`corpus_ngram_repetition_sql`."""
+    module note; SQL twin :func:`corpus_ngram_repetition_sql`.
+
+    CONTRACT (code-review r4): ``id_col`` values must be NON-NULL and
+    UNIQUE across the corpus — the same id-keyed-operator convention
+    as bernoulli_sample/hash_split (nulls) and paragraph_dedup
+    (uniqueness). A second row with the same id would count as
+    "another document" and flip the >= 2-docs semantics to >= 2-rows.
+    Nulls and within-batch duplicates raise loudly; cross-batch
+    duplicates are the caller's contract."""
     import hashlib
 
     import numpy as np
@@ -886,6 +894,15 @@ def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
     nb = np.uint64(num_group_buckets)
 
     def gram_rows(batch: pa.Table) -> pa.Table:
+        idcol = batch.column(id_col)
+        if idcol.null_count:
+            raise ValueError(
+                f"corpus_ngram_repetition: {id_col!r} contains nulls")
+        if batch.num_rows and (
+                idcol.to_pandas().duplicated().any()):
+            raise ValueError(
+                f"corpus_ngram_repetition: duplicate {id_col!r} "
+                f"values — ids must be corpus-unique")
         toks, lens, parent, _ = _explode_tokens(batch, text_col)
         d_idx, grams, _ = _ngram_concat(toks, lens, parent, n)
         id_type = batch.schema.field(id_col).type

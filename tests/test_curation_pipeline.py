@@ -70,7 +70,7 @@ def test_curation_pipeline_composes():
     # post-rebuild differs, so run it on the RAW corpus instead)
     fresh = dedup_exact_against(
         rd.from_pandas(df), rd.from_pandas(old_snapshot),
-        "text", "doc_id", num_partitions=2).to_pandas()
+        "text", num_partitions=2).to_pandas()
     assert sorted(fresh["doc_id"]) == sorted(df["doc_id"][10:])
 
     # 6. token counts -> chunk -> split -> pack over the deduped text

@@ -98,7 +98,7 @@ def test_dedup_exact_against_matches_anti_join():
                  None,          # null == '' identity, matches old null
                  "fresh c"]})
     got = (dedup_exact_against(rd.from_pandas(new),
-                               rd.from_pandas(old), "text", "doc_id",
+                               rd.from_pandas(old), "text",
                                num_partitions=2)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     con = duckdb.connect()
@@ -113,7 +113,7 @@ def test_dedup_exact_against_matches_anti_join():
 
     # bloom path and plain anti-join path agree
     plain = (dedup_exact_against(rd.from_pandas(new),
-                                 rd.from_pandas(old), "text", "doc_id",
+                                 rd.from_pandas(old), "text",
                                  use_bloom=False, num_partitions=2)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert plain["doc_id"].tolist() == got["doc_id"].tolist()
@@ -125,11 +125,42 @@ def test_dedup_exact_against_disjoint_and_total_overlap():
     old = pd.DataFrame({"text": ["a", "b"]})
     disjoint = pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"]})
     kept = (dedup_exact_against(rd.from_pandas(disjoint),
-                                rd.from_pandas(old), "text", "doc_id",
+                                rd.from_pandas(old), "text",
                                 num_partitions=2).to_pandas())
     assert sorted(kept["doc_id"]) == [1, 2]
     total = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
     none = (dedup_exact_against(rd.from_pandas(total),
-                                rd.from_pandas(old), "text", "doc_id",
+                                rd.from_pandas(old), "text",
                                 num_partitions=2).to_pandas())
     assert len(none) == 0
+
+
+def test_dedup_exact_against_high_fpp_false_positives_verified():
+    # fpp=0.6 forces bloom false positives through the exact verify:
+    # non-duplicates must STILL survive (code-review r4 — the verify
+    # branch was otherwise never exercised)
+    from raylink.dedup import dedup_exact_against
+
+    old = pd.DataFrame({"text": [f"old {i}" for i in range(50)]})
+    new = pd.DataFrame({
+        "doc_id": range(60),
+        "text": [f"old {i}" if i < 20 else f"new {i}"
+                 for i in range(60)]})
+    got = (dedup_exact_against(rd.from_pandas(new),
+                               rd.from_pandas(old), "text",
+                               fpp=0.6, num_partitions=2)
+           .to_pandas())
+    assert sorted(got["doc_id"]) == list(range(20, 60))
+
+
+def test_dedup_exact_against_confirmed_bound_is_loud():
+    import pytest as _pytest
+
+    from raylink.dedup import dedup_exact_against
+
+    old = pd.DataFrame({"text": [f"t {i}" for i in range(10)]})
+    new = pd.DataFrame({"doc_id": range(10),
+                        "text": [f"t {i}" for i in range(10)]})
+    with _pytest.raises(ValueError, match="max_confirmed"):
+        dedup_exact_against(rd.from_pandas(new), rd.from_pandas(old),
+                            "text", max_confirmed=2)

@@ -121,3 +121,18 @@ def test_corpus_ngram_repetition_matches_duckdb():
     assert by_id.loc[2, "rep_frac_e6"] == 0
     # token-free doc emits no row on either side
     assert 4 not in by_id.index
+
+
+def test_corpus_ngram_repetition_rejects_null_and_duplicate_ids():
+    import pytest as _pytest
+
+    from raylink.textstats import corpus_ngram_repetition
+
+    nulls = pd.DataFrame({"doc_id": [0, None], "text": ["a b c", "a b c"]})
+    with _pytest.raises(Exception, match="nulls"):
+        (corpus_ngram_repetition(rd.from_pandas(nulls), "text",
+                                 "doc_id", n=2).to_pandas())
+    dups = pd.DataFrame({"doc_id": [7, 7], "text": ["a b c", "a b c"]})
+    with _pytest.raises(Exception, match="duplicate"):
+        (corpus_ngram_repetition(rd.from_pandas(dups), "text",
+                                 "doc_id", n=2).to_pandas())
