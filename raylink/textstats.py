@@ -889,8 +889,6 @@ def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
     import numpy as np
     import pandas as pd
 
-    from ray.data.aggregate import Sum
-
     nb = np.uint64(num_group_buckets)
 
     def gram_rows(batch: pa.Table) -> pa.Table:
@@ -906,21 +904,27 @@ def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
         toks, lens, parent, _ = _explode_tokens(batch, text_col)
         d_idx, grams, _ = _ngram_concat(toks, lens, parent, n)
         id_type = batch.schema.field(id_col).type
-        schema = pa.schema([(id_col, id_type), ("_gh", pa.string()),
-                            ("_gb", pa.int32())])
+        # the full 128-bit md5 rides as TWO uint64 columns — half the
+        # shuffle bytes of the 32-char hex string and a numeric (not
+        # object) groupby key in the buckets; identity is unchanged
+        schema = pa.schema([(id_col, id_type), ("_gh", pa.uint64()),
+                            ("_gl", pa.uint64()), ("_gb", pa.int32())])
         if not len(d_idx):
             return schema.empty_table()
         df = pd.DataFrame({"d": d_idx, "g": grams}).drop_duplicates()
         uniq, inv = np.unique(df["g"].to_numpy(), return_inverse=True)
-        hexes = np.array([hashlib.md5(g.encode("utf-8")).hexdigest()
-                          for g in uniq], dtype=object)
-        gh = hexes[inv]
-        gb = ((np.array([int(h[:8], 16) for h in hexes], np.uint64)
-               % nb).astype(np.int32))[inv]
+        uhi = np.empty(len(uniq), np.uint64)
+        ulo = np.empty(len(uniq), np.uint64)
+        for i, g in enumerate(uniq):
+            dg = hashlib.md5(g.encode("utf-8")).digest()
+            uhi[i] = int.from_bytes(dg[:8], "big")
+            ulo[i] = int.from_bytes(dg[8:], "big")
+        gb = ((uhi % nb).astype(np.int32))[inv]
         ids = batch.column(id_col).take(
             pa.array(df["d"].to_numpy(np.int64)))
         return pa.table({id_col: ids,
-                         "_gh": pa.array(gh.tolist(), pa.string()),
+                         "_gh": pa.array(uhi[inv]),
+                         "_gl": pa.array(ulo[inv]),
                          "_gb": pa.array(gb)}, schema=schema)
 
     rows = ds.map_batches(gram_rows, batch_format="pyarrow")
@@ -932,9 +936,9 @@ def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
                             ("rep", pa.int64())])
         if "_gh" not in g.column_names or g.num_rows == 0:
             return schema.empty_table()
-        df = g.select([id_col, "_gh"]).to_pandas()
-        counts = df["_gh"].value_counts()
-        repeated = df["_gh"].map(counts).to_numpy() >= 2
+        df = g.select([id_col, "_gh", "_gl"]).to_pandas()
+        repeated = (df.groupby(["_gh", "_gl"], sort=False)["_gh"]
+                    .transform("size").to_numpy() >= 2)
         agg = (df.assign(rep=repeated.astype(np.int64))
                .groupby(id_col, sort=False)
                .agg(tot=("_gh", "size"), rep=("rep", "sum"))
@@ -947,18 +951,43 @@ def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
 
     partials = (rows.groupby("_gb")
                 .map_groups(per_bucket, batch_format="pyarrow"))
-    sums = (partials.groupby(id_col)
-            .aggregate(Sum("tot", alias_name="distinct_ngrams"),
-                       Sum("rep", alias_name="repeated_ngrams")))
 
-    def finish(t: pa.Table) -> pa.Table:
-        tot = np.asarray(t.column("distinct_ngrams"), np.float64)
-        rep = np.asarray(t.column("repeated_ngrams"), np.float64)
+    # fold partials by id with the repo's hash-bucket co-shuffle, NOT
+    # Dataset.groupby(id).aggregate — the native string-key aggregate
+    # measured 110 s on 11.7M partial rows where this path takes
+    # seconds (same pitfall class as the per-tiny-group map_groups)
+    from .blocks import stable_hash_array
+
+    def add_idb(t: pa.Table) -> pa.Table:
+        ib = (stable_hash_array(t.column(id_col))
+              % nb).astype(np.int32)
+        return t.append_column("_ib", pa.array(ib))
+
+    def fold(g: pa.Table) -> pa.Table:
+        id_type = (g.schema.field(id_col).type
+                   if id_col in g.column_names else pa.string())
+        schema = pa.schema([
+            (id_col, id_type), ("distinct_ngrams", pa.int64()),
+            ("repeated_ngrams", pa.int64()),
+            ("rep_frac_e6", pa.int64())])
+        if "tot" not in g.column_names or g.num_rows == 0:
+            return schema.empty_table()
+        df = (g.select([id_col, "tot", "rep"]).to_pandas()
+              .groupby(id_col, sort=False).sum().reset_index())
+        tot = df["tot"].to_numpy(np.float64)
+        rep = df["rep"].to_numpy(np.float64)
         frac = np.floor(1e6 * rep / np.maximum(tot, 1.0)).astype(
             np.int64)
-        return t.append_column("rep_frac_e6", pa.array(frac))
+        return pa.table({
+            id_col: pa.array(df[id_col].tolist(), id_type),
+            "distinct_ngrams": pa.array(df["tot"].to_numpy(np.int64)),
+            "repeated_ngrams": pa.array(df["rep"].to_numpy(np.int64)),
+            "rep_frac_e6": pa.array(frac),
+        }, schema=schema)
 
-    return sums.map_batches(finish, batch_format="pyarrow")
+    return (partials.map_batches(add_idb, batch_format="pyarrow")
+            .groupby("_ib")
+            .map_groups(fold, batch_format="pyarrow"))
 
 
 def corpus_ngram_repetition_sql(table: str, text_col: str,
