@@ -230,7 +230,12 @@ def score_perplexity(ds, model_ref, text_col: str,
         fn_constructor_args=(model_ref, text_col, id_cols, with_ppl),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # autoscaling (1, N): a FIXED pool of N 1-CPU actors reserves
+        # the whole session when N == session CPUs and starves the
+        # upstream read — a race-dependent deadlock that hung the
+        # 4-CPU bench --scaling leg (pool 4.0 CPU reserved, ReadParquet
+        # backpressured forever)
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
