@@ -106,9 +106,25 @@ def main(argv=None) -> int:
                              out_text_col=text_col)
 
     if args.chunk:
-        chunks = chunk_documents(ds, text_col, id_col,
-                                 chunk_tokens=args.chunk,
-                                 overlap=args.overlap)
+        # id_col still holds the BASE doc id here; the '#<chunk_idx>'
+        # suffix is appended only after split assignment below
+        ds = chunk_documents(ds, text_col, id_col,
+                             chunk_tokens=args.chunk,
+                             overlap=args.overlap)
+
+    fractions = None
+    if args.split:
+        fractions = {}
+        for part in args.split.split(","):
+            name, frac = part.split("=")
+            fractions[name.strip()] = float(frac)
+        # Split on the BASE doc id (before the chunk suffix exists) so
+        # every chunk of a document lands in the SAME split — with
+        # --overlap > 0, per-chunk splitting put literal token spans of
+        # one doc in both train and val (ADVICE r4, train/eval leak).
+        ds = hash_split(ds, id_col, fractions, seed=args.seed)
+
+    if args.chunk:
 
         def chunk_id(t):
             import pyarrow as pa
@@ -120,15 +136,10 @@ def main(argv=None) -> int:
             return (t.drop_columns([id_col])
                     .append_column(id_col, cid))
 
-        ds = chunks.map_batches(chunk_id, batch_format="pyarrow")
+        ds = ds.map_batches(chunk_id, batch_format="pyarrow")
 
     os.makedirs(args.out, exist_ok=True)
-    if args.split:
-        fractions = {}
-        for part in args.split.split(","):
-            name, frac = part.split("=")
-            fractions[name.strip()] = float(frac)
-        ds = hash_split(ds, id_col, fractions, seed=args.seed)
+    if fractions:
         # ONE streaming write, hive-partitioned by split — per-split
         # filters would re-execute the whole lineage once per split
         ds.write_parquet(args.out, partition_cols=["split"])

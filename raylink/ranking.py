@@ -259,8 +259,18 @@ def bernoulli_sample(ds, id_col: str, rate, seed: int = 42):
     def keep(t: pa.Table) -> pa.Table:
         u = _uniform_of(t.column(id_col), seed, use_str,
                         "bernoulli_sample", id_col)
-        r = (np.asarray(t.column(rate_col), dtype=np.float64)
-             if rate_col else float(rate))
+        if rate_col:
+            rc = t.column(rate_col)
+            if rc.null_count:
+                # NaN makes `u < r` silently False — a NULL rate would
+                # read as "sampled out" and mask an upstream join bug;
+                # mirror _uniform_of's loud null-id guard (ADVICE r4)
+                raise ValueError(
+                    f"bernoulli_sample: rate column {rate_col!r} has "
+                    f"{rc.null_count} null(s); rates must be non-null")
+            r = np.asarray(rc, dtype=np.float64)
+        else:
+            r = float(rate)
         return t.filter(pa.array(u < r))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -79,8 +79,14 @@ def canonicalize_one(url: str) -> tuple[str, str, str]:
     if host.startswith("www."):
         host = host[4:]
     tail = _FRAG_RE.sub("", tail)
+    had_query = "?" in tail
     tail = _TRACK_RE.sub("", tail)
-    if "?" not in tail and "&" in tail:
+    # Repair '&'->'?' ONLY when the tracking removal consumed the real
+    # '?' (a '?utm_..=..' match): a URL that never had a query string
+    # but holds a literal '&' in its path ('http://h/a&b') must not be
+    # rewritten to 'http://h/a?b' (ADVICE r4). Mirrored in
+    # _canon_sql_expr's tail3.
+    if had_query and "?" not in tail and "&" in tail:
         tail = tail.replace("&", "?", 1)
     tail = re.sub(r"[?&]+$", "", tail)
     tail = _TRAIL_RE.sub("", tail)
@@ -189,7 +195,8 @@ def _canon_sql_expr(col: str) -> dict[str, str]:
                  f" OR ({scheme} = 'https' AND {port} = '443')))")
     tail1 = f"regexp_replace({tail0}, '#.*$', '')"
     tail2 = f"regexp_replace({tail1}, '[?&]{_TRACKING}=[^&#]*', '', 'g')"
-    tail3 = (f"CASE WHEN strpos({tail2}, '?') = 0 AND strpos({tail2}, '&') > 0 "
+    tail3 = (f"CASE WHEN strpos({tail1}, '?') > 0 "
+             f"AND strpos({tail2}, '?') = 0 AND strpos({tail2}, '&') > 0 "
              f"THEN regexp_replace({tail2}, '&', '?') ELSE {tail2} END")
     tail4 = f"regexp_replace({tail3}, '[?&]+$', '')"
     tail = f"regexp_replace({tail4}, '/+$', '')"

@@ -111,6 +111,15 @@ def test_bernoulli_sample_rejects_float_ids():
         bernoulli_sample(rd.from_pandas(df), "fid", 0.5)
 
 
+def test_bernoulli_sample_rejects_null_rates():
+    # a NULL rate would silently read as "sampled out" (NaN < u is
+    # False), masking an upstream join bug as sampling loss (ADVICE r4)
+    df = DF.assign(w=[0.5] * (len(DF) - 1) + [None])
+    with pytest.raises(Exception, match="null"):
+        bernoulli_sample(rd.from_pandas(df), "doc_id", "w",
+                         seed=3).to_pandas()
+
+
 def test_hash_split_matches_duckdb_and_partitions_everything():
     from raylink.ranking import hash_split, hash_split_sql_case
 

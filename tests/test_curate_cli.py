@@ -55,12 +55,21 @@ def test_curate_cli_end_to_end(tmp_path, capsys):
     boiler_docs = (got[got["chunk_text"].str.contains("boilerplate")]
                    ["doc_id"].str.split("#").str[0].nunique())
     assert boiler_docs == 1
-    # split assignment is the deterministic hash split
+    # split assignment hashes the BASE doc id, so every chunk of a doc
+    # lands in the same split — with overlap > 0, per-chunk splitting
+    # would leak overlapping token spans across train/val (ADVICE r4)
+    got["base_id"] = got["doc_id"].str.split("#").str[0]
+    per_doc = got.groupby("base_id")["split"].nunique()
+    assert (per_doc == 1).all()
+    # and it is the deterministic hash split of the base id
     from raylink.ranking import hash_split
 
+    # the CLI hashed the base id while it was still int64 — match it
     redo = (hash_split(rd.from_pandas(
-        got[["doc_id"]].assign(x=1)), "doc_id",
+        got[["base_id"]].drop_duplicates().astype({"base_id": "int64"})
+        .assign(x=1)), "base_id",
         {"train": 0.8, "val": 0.2}).to_pandas())
-    merged = got.merge(redo[["doc_id", "split"]], on="doc_id",
+    redo["base_id"] = redo["base_id"].astype(str)
+    merged = got.merge(redo[["base_id", "split"]], on="base_id",
                        suffixes=("", "_redo"))
     assert (merged["split"] == merged["split_redo"]).all()

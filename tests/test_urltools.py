@@ -24,6 +24,8 @@ URLS = [
     "https://a.b.c.d.example.com/deep",
     "http://example.com",
     "https://www.example.com/",
+    "http://host.com/a&b",
+    "http://host.com/p?utm_source=x&q=1",
 ]
 
 
@@ -43,6 +45,14 @@ def test_canonicalize_one_golden():
     # tracking-only query leaves no dangling '?'
     assert canonicalize_one(URLS[7]) == (
         "https://example.com", "example.com", "example.com")
+    # literal '&' in a query-less path is NOT rewritten to '?'
+    # (ADVICE r4: the repair fires only when tracking removal consumed
+    # the real '?')
+    assert canonicalize_one("http://host.com/a&b") == (
+        "http://host.com/a&b", "host.com", "host.com")
+    # ... but a leading '?utm_..' removal still promotes the next '&'
+    assert canonicalize_one("http://host.com/p?utm_source=x&q=1") == (
+        "http://host.com/p?q=1", "host.com", "host.com")
 
 
 def test_add_url_columns_matches_duckdb():
