@@ -1,14 +1,29 @@
 """Benchmark harness.
 
 Prints ONE JSON line:
-  {"metric": "linkage_pages_per_sec", "value": <headline seconds>,
+  {"metric": "linkage_e2e_sec", "value": <best-of-2 linkage seconds>,
    "unit": "sec", "queries": {...per-pipeline seconds...},
-   "pages_per_sec": ..., "sf": ..., "num_cpus": N}
+   "linkage_runs_sec": [run1, run2], "pages_per_sec": ...,
+   "curation_e2e_sec": ..., "curation_stages": {...},
+   "loadavg": {"start": [...], "end": [...]},
+   "cpu_calib_sec": {"start": s, "end": s}, "sf": ..., "num_cpus": N}
 
 Headline = end-to-end linkage pipeline (extract -> normalize -> quality
 -> block -> pairwise score -> connected components) over the
-deterministic pages fixture sized for $GRAFT_SF_DIR; plus a set of
-secondary pipelines over the testdata tables.
+deterministic pages fixture sized for $GRAFT_SF_DIR, run TWICE with the
+best wall reported (VERDICT r4 #1: same-HEAD single-shot walls spread
+52.6-98.0 s with ambient VM load; best-of-2 is the honest estimator
+and both raw walls are published). The JSON also records
+os.getloadavg() and a fixed-work single-thread CPU calibration loop at
+start and end, so a noisy measurement window is detectable from the
+artifact alone. Second headline: the curation pipeline (repetition
+gate -> benchmark decontamination -> paragraph dedup -> chunking ->
+hash split -> hive-partitioned write) over the SAME pages fixture,
+with a per-stage breakdown (VERDICT r4 #6). Plus a set of secondary
+pipelines over the testdata tables.
+
+Env knobs (the --scaling subprocesses set these): RAYLINK_LINKAGE_REPS
+(default 2), RAYLINK_SKIP_CURATION=1 skips the curation headline.
 
 --scaling: runs the same bench in fresh subprocesses at multiple CPU
 pairs (env RAYLINK_SCALING_CPUS, default "4,16;8,32" — the
@@ -21,6 +36,7 @@ CPU-scaling ceiling for allocation-heavy Python.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import subprocess
@@ -28,9 +44,29 @@ import sys
 import time
 
 
+def _cpu_calibration() -> float:
+    """Fixed-work single-thread loop (~0.3 s quiet): its wall time is a
+    pure function of ambient CPU contention, so start/end readings in
+    the JSON let a reader detect a noisy window from the artifact
+    alone (VERDICT r4 #1)."""
+    s = "akasya mahallesi guven caddesi no 12 daire 3 bodrum mugla"
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(60_000):
+        toks = s.lower().split()
+        d = {t: j for j, t in enumerate(toks)}
+        acc += len(" ".join(sorted(d)))
+    assert acc
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    linkage_reps = int(os.environ.get("RAYLINK_LINKAGE_REPS", "2"))
+    skip_curation = os.environ.get("RAYLINK_SKIP_CURATION") == "1"
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    calib_start = _cpu_calibration()
 
     import ray
 
@@ -111,33 +147,117 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         del res
 
-    import gc
-
     gc.collect()
 
-    t0 = time.perf_counter()
-    pages = rd.read_parquet(pages_path, columns=["url", "html"])
-    out = run_linkage(pages, match_cfg=entrymod.FIXTURE_MATCH_CFG,
-                      with_clusters=True, with_unmatched=False,
-                      salt_hot_blocks=True,
-                      extract_concurrency=None)  # session-sized pool
-    n_edges = out["edges"].count()
-    n_clusters = out["clusters"].count()
-    headline = time.perf_counter() - t0
-    timings["linkage_e2e"] = round(headline, 3)
+    # best-of-reps linkage (VERDICT r4 #1): a single-shot wall cannot
+    # be told apart from ambient VM load (same-HEAD spread 52.6-98.0 s
+    # documented in BENCH/BASELINE.md); both raw walls are published
+    # and the output counts pin that every run did identical work
+    linkage_runs: list[float] = []
+    n_edges = n_clusters = 0
+    for rep in range(max(1, linkage_reps)):
+        t0 = time.perf_counter()
+        pages = rd.read_parquet(pages_path, columns=["url", "html"])
+        out = run_linkage(pages, match_cfg=entrymod.FIXTURE_MATCH_CFG,
+                          with_clusters=True, with_unmatched=False,
+                          salt_hot_blocks=True,
+                          extract_concurrency=None)  # session-sized
+        e = out["edges"].count()
+        c = out["clusters"].count()
+        linkage_runs.append(round(time.perf_counter() - t0, 3))
+        if rep and (e != n_edges or c != n_clusters):
+            raise AssertionError(
+                f"linkage output drifted between reps: "
+                f"{(e, c)} vs {(n_edges, n_clusters)}")
+        n_edges, n_clusters = e, c
+        del out, pages
+        gc.collect()
+    headline = min(linkage_runs)
+    timings["linkage_e2e"] = headline
 
-    return {
+    curation: dict[str, float] = {}
+    curation_total = None
+    curated_chunks = None
+    if not skip_curation:
+        curation_total, curation, curated_chunks = _run_curation(
+            rd, pages_path, sf_dir)
+
+    result = {
         "metric": "linkage_e2e_sec",
-        "value": timings["linkage_e2e"],
+        "value": headline,
         "unit": "sec",
         "queries": timings,
+        "linkage_runs_sec": linkage_runs,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / headline, 1),
         "edges": n_edges,
         "clusters": n_clusters,
+        "curation_e2e_sec": curation_total,
+        "curation_stages": curation,
+        "curated_chunks": curated_chunks,
+        "loadavg": {"start": load_start,
+                    "end": [round(x, 2) for x in os.getloadavg()]},
+        "cpu_calib_sec": {"start": calib_start,
+                          "end": _cpu_calibration()},
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
+    return result
+
+
+def _run_curation(rd, pages_path: str, sf_dir: str):
+    """Second headline (VERDICT r4 #6): the curate_cli stage chain over
+    the SAME pages fixture as the linkage headline — repetition gate ->
+    benchmark decontamination (vs the sf documents table) -> paragraph
+    dedup -> 512-token chunking -> deterministic hash split ->
+    hive-partitioned Parquet sink. Stages are materialized at each
+    boundary so the per-stage walls are attributable; the sum is the
+    e2e number (a fused lazy run could only be faster)."""
+    import shutil
+
+    from raylink.dedup import paragraph_dedup
+    from raylink.ranking import hash_split
+    from raylink.textstats import (add_repetition_signals,
+                                   chunk_documents, flag_contaminated)
+
+    stages: dict[str, float] = {}
+    out_dir = "/tmp/raylink_bench_curated"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(pages_path, columns=["url", "text"])
+    gated = (add_repetition_signals(docs, "text")
+             .filter(expr="dup_line_frac_e6 <= 500000")
+             .select_columns(["url", "text"])
+             .materialize())
+    stages["gate"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bench_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    clean = (flag_contaminated(gated, "text", bench_docs, "text", n=8)
+             .filter(expr="contaminated == False")
+             .select_columns(["url", "text"])
+             .materialize())
+    stages["decontaminate"] = round(time.perf_counter() - t0, 3)
+    del gated
+
+    t0 = time.perf_counter()
+    deduped = paragraph_dedup(clean, "text", "url",
+                              out_text_col="text").materialize()
+    stages["paragraph_dedup"] = round(time.perf_counter() - t0, 3)
+    del clean
+
+    t0 = time.perf_counter()
+    chunks = chunk_documents(deduped, "text", "url",
+                             chunk_tokens=512, overlap=0)
+    split = hash_split(chunks, "url", {"train": 0.98, "val": 0.02})
+    split.write_parquet(out_dir, partition_cols=["split"])
+    stages["chunk_split_write"] = round(time.perf_counter() - t0, 3)
+    n_chunks = rd.read_parquet(out_dir).count()
+    del deduped
+    gc.collect()
+    return round(sum(stages.values()), 3), stages, n_chunks
 
 
 def _hardware_cpu_ceiling(n_lo: int, n_hi: int) -> float:
@@ -208,7 +328,12 @@ def run_scaling() -> dict:
         best = None
         all_runs[ncpu] = []
         for _ in range(2):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            # the scaling harness already does best-of-2 across bench
+            # invocations and only needs linkage throughput — one
+            # linkage rep per invocation, no curation headline
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       RAYLINK_LINKAGE_REPS="1",
+                       RAYLINK_SKIP_CURATION="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, check=True,

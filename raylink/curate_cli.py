@@ -90,14 +90,15 @@ def main(argv=None) -> int:
     if args.max_dup_line_frac is not None:
         cut = int(args.max_dup_line_frac * 1_000_000)
         ds = add_repetition_signals(ds, text_col)
-        ds = ds.filter(
-            lambda r, _c=cut: r["dup_line_frac_e6"] <= _c)
+        # expr filters run vectorized on Arrow blocks; the lambda form
+        # boxed every row into a dict (r5)
+        ds = ds.filter(expr=f"dup_line_frac_e6 <= {cut}")
 
     if args.benchmark:
         bench = rd.read_parquet(args.benchmark)
         ds = flag_contaminated(ds, text_col, bench,
                                args.benchmark_text_col, n=args.ngram)
-        ds = ds.filter(lambda r: not r["contaminated"])
+        ds = ds.filter(expr="contaminated == False")
 
     if args.dedup_paragraphs:
         # rebuilds text from surviving paragraphs; carries only
