@@ -1281,16 +1281,61 @@ def _learned_eval(sf_dir: str, kind: str):
         raise AssertionError(
             f"{kind} holdout accuracy {acc} below floor {floor}")
 
+    # VERDICT r4 #7: the knn branch is deterministic by construction
+    # (T6 — fixed hash seeds, no SGD), so its exact label assignment is
+    # pinnable. Carry an order/partition-invariant content hash over
+    # the (doc_id, pred_label) pairs in the result so label drift
+    # across rounds/parallelism shows up in the gate artifact even
+    # though the row has no SQL twin (learned weights). PARITY pins
+    # the sf0.01 value; parallelism-invariance is tested in pytest.
+    label_hash = (_labelset_hash_hex(scored)
+                  if kind == "knn" else None)
+
     def attach(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        return t.drop_columns(["_vs_lang"]).append_column(
+        t = t.drop_columns(["_vs_lang"]).append_column(
             "holdout_accuracy",
             pa.array([round(acc, 4)] * n, pa.float64()),
         ).append_column(
             "accuracy_vs_lang",
             pa.array([round(acc_lang, 4)] * n, pa.float64()))
+        return t.append_column(
+            "label_hash", pa.array([label_hash] * n, pa.string()))
 
     return scored.map_batches(attach, batch_format="pyarrow")
+
+
+def _labelset_hash_hex(scored) -> str:
+    """Order/partition-invariant content hash of (doc_id, pred_label):
+    per row, mix the doc_id into a sha256-derived u64 of its label and
+    SUM mod 2^64 (numpy uint64 wraparound) — commutative, so block
+    order and parallelism cannot change it. Vectorized per batch; one
+    tiny partial row per batch reaches the driver."""
+    import hashlib
+
+    import numpy as np
+
+    def _lbl64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.sha256(s.encode()).digest()[:8], "big")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.uint64)
+        labels = t["pred_label"].to_pylist()
+        lut = {s: _lbl64(s) for s in set(labels)}
+        lbl = np.fromiter((lut[s] for s in labels), dtype=np.uint64,
+                          count=len(labels))
+        # odd multiplier makes the per-row map a bijection on u64
+        with np.errstate(over="ignore"):
+            mixed = (ids * np.uint64(0x9E3779B97F4A7C15)) ^ lbl
+            acc = np.add.reduce(mixed) if len(mixed) else np.uint64(0)
+        return pa.table({"h": pa.array([int(acc)], pa.uint64())})
+
+    parts = scored.map_batches(partial, batch_format="pyarrow").take_all()
+    total = 0
+    for r in parts:
+        total = (total + int(r["h"])) & 0xFFFFFFFFFFFFFFFF
+    return f"{total:016x}"
 
 
 def q_knn_label_documents(sf_dir: str):

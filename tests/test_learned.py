@@ -311,3 +311,32 @@ def test_fit_classifier_distributed_matches_local():
                            concurrency=2).to_pandas()
     got = dict(zip(out["id"], out["pred_label"]))
     assert [got[i] for i in range(3)] == ["A", "B", "C"]
+
+
+def test_labelset_hash_partition_invariant_and_sensitive():
+    """VERDICT r4 #7 mechanism check: the (doc_id, pred_label) content
+    hash must not change under repartitioning (commutative u64 sum),
+    must change when any single label changes, and must distinguish
+    swapped labels between two docs (doc_id is mixed into each term).
+    The pinned sf0.01 value and the cross-process two-parallelism
+    evidence live in PARITY.md round-5."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _labelset_hash_hex
+
+    rows = [{"doc_id": i, "pred_label": ["tr", "en", "de"][i % 3]}
+            for i in range(101)]
+    base = _labelset_hash_hex(rd.from_items(rows).repartition(2))
+    assert base == _labelset_hash_hex(rd.from_items(rows).repartition(7))
+    assert base == _labelset_hash_hex(
+        rd.from_items(list(reversed(rows))).repartition(3))
+
+    mutated = [dict(r) for r in rows]
+    mutated[50]["pred_label"] = "fr"
+    assert base != _labelset_hash_hex(rd.from_items(mutated))
+
+    swapped = [dict(r) for r in rows]
+    swapped[0]["pred_label"], swapped[1]["pred_label"] = (
+        swapped[1]["pred_label"], swapped[0]["pred_label"])
+    assert base != _labelset_hash_hex(rd.from_items(swapped))
