@@ -1487,8 +1487,10 @@ def q_weak_label_pages(sf_dir: str):
 def q_media_features(sf_dir: str):
     """Multimodal columns: binary media payloads -> actor-pool decode
     -> fixed-size features. The fixture's image payloads are REAL PNGs
-    decoded by raylink.mediacodec (stdlib zlib + numpy; strict=True —
-    a non-PNG/BMP payload raises instead of faking).
+    and baseline JPEGs (4:4:4 and 4:2:0), decoded by raylink.mediacodec
+    (stdlib zlib + numpy; JPEG via the from-scratch codec in
+    raylink/jpeg.py; strict=True — an undecodable payload raises
+    instead of faking).
 
     Self-checking (VERDICT r3 #3): every row carries ``roundtrip_ok``
     (decoded pixels re-encoded and decoded again, bit-equal), asserted

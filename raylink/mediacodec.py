@@ -1,17 +1,19 @@
-"""Pure-stdlib media codecs: PNG, BMP and WAV decode/encode with
-numpy + zlib + wave — no PIL/opencv/ffmpeg required.
+"""Pure-stdlib media codecs: PNG, BMP, WAV and baseline JPEG
+decode/encode with numpy + zlib + wave — no PIL/opencv/ffmpeg required.
 
-These make the multimodal stages' decode REAL for the formats the
-standard library can express (reference parity note: the reference has
-no media path at all; this backs the engine's own multimodal operators,
-see raylink/multimodal.py). Formats that genuinely need external
-libraries (JPEG entropy coding, MP4/H.264) remain declared stubs in
-multimodal.py.
+These make the multimodal stages' decode REAL for the formats
+expressible without external libraries (reference parity note: the
+reference has no media path at all; this backs the engine's own
+multimodal operators, see raylink/multimodal.py). MP4/H.264 remains
+the one declared stub in multimodal.py (frame extraction genuinely
+needs ffmpeg).
 
 PNG support: 8-bit greyscale / RGB / RGBA, non-interlaced, all five
 scanline filter types on decode (encode emits filter 0). BMP support:
 24-bit uncompressed BI_RGB. WAV support: PCM 8/16/32-bit via the
-stdlib ``wave`` module.
+stdlib ``wave`` module. JPEG support (raylink.jpeg, re-exported
+here): baseline sequential decode incl. chroma subsampling + restart
+intervals; 4:4:4 / 4:2:0 encode with the Annex K tables.
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ import wave
 import zlib
 
 import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 

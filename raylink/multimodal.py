@@ -2,14 +2,15 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-Decode is REAL for the formats the standard library can express —
-PNG / BMP images and PCM WAV audio, via raylink.mediacodec (zlib +
-wave + numpy; no PIL/opencv/ffmpeg needed). Formats whose decoders
-genuinely require external libraries (JPEG entropy decode, MP4/H.264
-frame extraction) remain declared stubs: strict mode raises
-NotImplementedError, non-strict falls back to a deterministic fake so
-the Ray-side plumbing (schema, small batch sizes for large payloads,
-actor signature, output layout) stays testable end-to-end either way.
+Decode is REAL for PNG / BMP / baseline JPEG images and PCM WAV
+audio, via raylink.mediacodec (zlib + wave + numpy; no
+PIL/opencv/ffmpeg needed — JPEG is the from-scratch baseline codec in
+raylink.jpeg). The one format whose decoder genuinely requires an
+external library (MP4/H.264 frame extraction) remains a declared
+stub: strict mode raises NotImplementedError, non-strict falls back
+to a deterministic fake so the Ray-side plumbing (schema, small batch
+sizes for large payloads, actor signature, output layout) stays
+testable end-to-end either way.
 """
 
 from __future__ import annotations
@@ -21,8 +22,10 @@ import pyarrow as pa
 
 from .mediacodec import (
     decode_bmp,
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_jpeg,
     encode_png,
     encode_wav,
     sniff_media,
@@ -43,7 +46,7 @@ MEDIA_SCHEMA = pa.schema(
 
 def _fake_pixels(data: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in decode for formats without a stdlib
-    decoder (JPEG): seed a PRNG from the payload hash."""
+    decoder (MP4 frames): seed a PRNG from the payload hash."""
     seed = int.from_bytes(hashlib.blake2b(data, digest_size=4).digest(),
                           "big")
     rng = np.random.RandomState(seed)
@@ -74,11 +77,11 @@ class DecodeImage:
     """Actor-pool stage: binary image payload -> fixed-size feature
     vector (block-mean grayscale thumbnail).
 
-    PNG and BMP payloads are REALLY decoded (raylink.mediacodec);
-    other formats raise in strict mode or fall back to the
-    deterministic fake. Use small ``batch_size`` (e.g. 64) — payloads
-    are large and batch_size * concurrency blocks must fit the worker
-    heap."""
+    PNG, BMP and baseline JPEG payloads are REALLY decoded
+    (raylink.mediacodec); other formats raise in strict mode or fall
+    back to the deterministic fake. Use small ``batch_size`` (e.g.
+    64) — payloads are large and batch_size * concurrency blocks must
+    fit the worker heap."""
 
     def __init__(self, out_size: tuple[int, int] = (8, 8),
                  strict: bool = False, check_roundtrip: bool = False):
@@ -96,10 +99,12 @@ class DecodeImage:
             px = decode_png(data)
         elif kind == "bmp":
             px = decode_bmp(data)
+        elif kind == "jpeg":
+            px = decode_jpeg(data)
         elif self.strict:
             raise NotImplementedError(
-                f"no stdlib decoder for {kind!r} payloads (JPEG/MP4 "
-                f"need libjpeg/ffmpeg, not present in this environment)")
+                f"no stdlib decoder for {kind!r} payloads (MP4 frame "
+                f"extraction needs ffmpeg, not in this environment)")
         else:
             return _fake_pixels(data, max(width, 1), max(height, 1))
         if px.ndim == 2:                       # grayscale -> 3 channel
@@ -252,9 +257,11 @@ def sample_frames(ds, concurrency: int = 2, batch_size: int = 32,
 
 def build_media_fixture(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media table for tests. Image payloads are REAL
-    PNGs (seeded gradient+noise pixels), audio payloads are REAL PCM
-    WAVs (seeded sine tones); video payloads stay opaque bytes (the
-    frame sampler is a declared stub)."""
+    PNGs and baseline JPEGs (seeded gradient+noise pixels; every
+    second image is JPEG, alternating 4:4:4 / 4:2:0 subsampling),
+    audio payloads are REAL PCM WAVs (seeded sine tones); video
+    payloads stay opaque bytes (the frame sampler is a declared
+    stub)."""
     ids, kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
     for i in range(n):
         rng = np.random.RandomState(seed * 100_003 + i)
@@ -270,8 +277,14 @@ def build_media_fixture(n: int = 64, seed: int = 42) -> pa.Table:
                   (yy * 255 // max(h - 1, 1))[:, :, None] *
                   np.array([0, 1, 0]))
             px = (px + rng.randint(0, 64, size=(h, w, 3))).clip(0, 255)
-            payloads.append(encode_png(px.astype(np.uint8)))
-            mimes.append("image/png")
+            if (i // 3) % 2:
+                payloads.append(encode_jpeg(
+                    px.astype(np.uint8), quality=90,
+                    subsampling="4:2:0" if (i // 6) % 2 else "4:4:4"))
+                mimes.append("image/jpeg")
+            else:
+                payloads.append(encode_png(px.astype(np.uint8)))
+                mimes.append("image/png")
             ws.append(w)
             hs.append(h)
             durs.append(0)

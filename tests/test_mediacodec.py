@@ -141,25 +141,34 @@ def test_decode_image_real_png_block_mean():
     np.testing.assert_allclose(feat, want, rtol=1e-5)
 
 
-def test_decode_image_strict_raises_on_jpeg():
+def test_decode_image_strict_raises_on_mp4():
+    """JPEG is now really decoded (raylink.jpeg) — the remaining
+    strict-mode refusal is MP4; a corrupt JPEG fails loudly as a
+    ValueError, not a fake decode."""
     import pyarrow as pa
 
     from raylink.multimodal import DecodeImage
 
-    batch = pa.table(
-        {
-            "media_id": ["j"],
-            "payload": pa.array([b"\xff\xd8\xff\xe0 fake jpeg"],
-                                pa.binary()),
-            "width": pa.array([4], pa.int32()),
-            "height": pa.array([4], pa.int32()),
-        }
-    )
+    def batch(payload: bytes) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": ["x"],
+                "payload": pa.array([payload], pa.binary()),
+                "width": pa.array([4], pa.int32()),
+                "height": pa.array([4], pa.int32()),
+            }
+        )
+
+    mp4 = b"\x00\x00\x00\x18ftypisom rest-of-box"
     with pytest.raises(NotImplementedError):
-        DecodeImage(strict=True)(batch)
-    # non-strict falls back to the deterministic fake
-    out = DecodeImage(strict=False)(batch)
+        DecodeImage(strict=True)(batch(mp4))
+    # non-strict falls back to the deterministic fake for mp4
+    out = DecodeImage(strict=False)(batch(mp4))
     assert len(out.column("feature")[0].as_py()) == 64
+    # a truncated JPEG is a decode ERROR in either mode (it reaches
+    # the real decoder, which must not silently fake pixels)
+    with pytest.raises(ValueError):
+        DecodeImage(strict=True)(batch(b"\xff\xd8\xff\xe0 fake jpeg"))
 
 
 def test_audio_features_real_wav():
@@ -186,17 +195,26 @@ def test_audio_features_real_wav():
 
 def test_media_fixture_payloads_are_real():
     """The media fixture now carries genuinely decodable payloads."""
+    from raylink.mediacodec import decode_jpeg, sniff_media
     from raylink.multimodal import build_media_fixture
 
-    tbl = build_media_fixture(12)
-    for i in range(12):
+    tbl = build_media_fixture(24)
+    mimes = set()
+    for i in range(24):
         kind = tbl.column("kind")[i].as_py()
         payload = tbl.column("payload")[i].as_py()
         if kind == "image":
-            px = decode_png(payload)
+            mime = tbl.column("mime")[i].as_py()
+            mimes.add(mime)
+            if mime == "image/jpeg":
+                assert sniff_media(payload) == "jpeg"
+                px = decode_jpeg(payload)
+            else:
+                px = decode_png(payload)
             assert px.shape == (tbl.column("height")[i].as_py(),
                                 tbl.column("width")[i].as_py(), 3)
         elif kind == "audio":
             samples, rate = decode_wav(payload)
             want_ms = tbl.column("duration_ms")[i].as_py()
             assert abs(len(samples) / rate * 1000 - want_ms) < 2
+    assert mimes == {"image/png", "image/jpeg"}
