@@ -1202,19 +1202,28 @@ def paragraph_dedup(ds, text_col: str, id_col: str,
                 n_gone = np.zeros(batch.num_rows, np.int64)
                 if len(pos):
                     np.add.at(n_paras, row_idx, 1)
-                    # one blake2b per DOC, positions mixed vectorized
-                    doc_hi, doc_lo = _doc_digests(
-                        batch.column(id_col))
-                    ph, pl = _idpos_digest(doc_hi, doc_lo, row_idx,
-                                           pos)
-                    gone = _pairset_contains(self.hi, self.lo, ph, pl)
-                    np.add.at(n_gone, row_idx[gone], 1)
+                    if self.hi.size:
+                        # one blake2b per DOC, positions mixed
+                        # vectorized
+                        doc_hi, doc_lo = _doc_digests(
+                            batch.column(id_col))
+                        ph, pl = _idpos_digest(doc_hi, doc_lo,
+                                               row_idx, pos)
+                        gone = _pairset_contains(self.hi, self.lo,
+                                                 ph, pl)
+                        np.add.at(n_gone, row_idx[gone], 1)
+                        keep = ~gone
+                        kept_idx = row_idx[keep]
+                        kept_paras = paras.take(
+                            pa.array(np.flatnonzero(keep)))
+                    else:
+                        # empty removal set: nothing can be gone —
+                        # skip the per-doc hashing entirely
+                        kept_idx = row_idx
+                        kept_paras = paras
                     parts: dict[int, list[str]] = {}
-                    keep = ~gone
-                    for i, para in zip(row_idx[keep].tolist(),
-                                       paras.take(
-                                           pa.array(np.flatnonzero(
-                                               keep))).to_pylist()):
+                    for i, para in zip(kept_idx.tolist(),
+                                       kept_paras.to_pylist()):
                         parts.setdefault(i, []).append(para)
                     for i, ps in parts.items():
                         texts[i] = "\n".join(ps)

@@ -188,6 +188,92 @@ def _split_scan(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, end
 
 
+def _decode_scan(frame, scan, segs, huff, qt, restart, coefs, posn):
+    """Entropy-decode one scan's blocks into ``coefs``/``posn``.
+
+    A one-component scan is NON-interleaved per T.81 A.2.3: the MCU is
+    a single data unit and blocks traverse the component's own block
+    grid (ceil of its sampling-scaled dimensions) in raster order. A
+    multi-component scan is interleaved: cv*ch blocks per component
+    per MCU over the frame's MCU grid. Each scan starts with fresh DC
+    predictors.
+    """
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    bycid = {c[0]: c for c in comps}
+    for cid, _, _ in scan:
+        if cid not in bycid:
+            raise ValueError("JPEG scan references unknown component")
+    pred = {cid: 0 for cid, _, _ in scan}
+    br = _BitReader(segs[0])
+
+    def read_block(cid, tq, td, ta, by, bx):
+        dct = huff.get((0, td))
+        act = huff.get((1, ta))
+        q = qt.get(tq)
+        if dct is None or act is None or q is None:
+            raise ValueError("JPEG references undefined table")
+        zz = np.zeros(64, dtype=np.float64)
+        s = _read_symbol(br, dct)
+        pred[cid] += _extend(br.take(s), s)
+        zz[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    break                        # EOB
+                k += 16                          # ZRL
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _extend(br.take(s), s)
+            k += 1
+        coefs[cid].append(zz * q)
+        posn[cid].append((by, bx))
+
+    seg_i = 0
+    if len(scan) == 1:
+        cid, td, ta = scan[0]
+        _, ch, cv, tq = bycid[cid]
+        comp_w = -(-width * ch // hmax)          # ceil(X*Hi/Hmax)
+        comp_h = -(-height * cv // vmax)
+        nbx = -(-comp_w // 8)
+        nby = -(-comp_h // 8)
+        for m in range(nbx * nby):
+            if restart and m and m % restart == 0:
+                seg_i += 1                       # RST: next segment,
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segs[seg_i])     # byte-aligned
+                pred[cid] = 0
+            by, bx = divmod(m, nbx)
+            read_block(cid, tq, td, ta, by, bx)
+    else:
+        mx = -(-width // (8 * hmax))
+        my = -(-height // (8 * vmax))
+        sel = {cid: (td, ta) for cid, td, ta in scan}
+        for m in range(mx * my):
+            if restart and m and m % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segs[seg_i])
+                for c in pred:
+                    pred[c] = 0
+            mcu_y, mcu_x = divmod(m, mx)
+            for cid, _, _ in scan:
+                _, ch, cv, tq = bycid[cid]
+                td, ta = sel[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        read_block(cid, tq, td, ta,
+                                   mcu_y * cv + by, mcu_x * ch + bx)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 ndarray, (h, w) gray or (h, w, 3)
     RGB. Raises ValueError on progressive/arithmetic/invalid input."""
@@ -199,17 +285,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart = 0
     pos = 2
     n = len(data)
-    scan = None
+    # per component: list of zigzag coefficient rows + block positions,
+    # accumulated across one interleaved scan OR one scan per component
+    # (both legal baseline layouts)
+    coefs: dict[int, list] = {}
+    posn: dict[int, list] = {}
     while pos < n - 1:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while pos < n - 1 and data[pos + 1] == 0xFF:
+            pos += 1                             # fill bytes (B.1.1.2)
+        if pos >= n - 1:
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                       # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue                             # standalone markers
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
         seglen = _be16(data, pos)
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("truncated JPEG segment")
         seg = data[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:                       # DQT
@@ -217,25 +315,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 i += 1
+                width_b = 128 if pq else 64
+                if i + width_b > len(seg):
+                    raise ValueError("truncated JPEG DQT segment")
                 if pq:
                     tbl = np.frombuffer(
                         seg[i:i + 128], dtype=">u2").astype(np.float64)
-                    i += 128
                 else:
                     tbl = np.frombuffer(
                         seg[i:i + 64], dtype=np.uint8).astype(np.float64)
-                    i += 64
+                i += width_b
                 qt[tq] = tbl                     # zigzag order, as sent
         elif marker == 0xC4:                     # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = seg[i] >> 4, seg[i] & 15
                 bits = list(seg[i + 1:i + 17])
                 cnt = sum(bits)
+                if i + 17 + cnt > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 vals = list(seg[i + 17:i + 17 + cnt])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + cnt
         elif marker in (0xC0, 0xC1):             # SOF0/SOF1 baseline
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("truncated JPEG SOF segment")
+            if seg[0] != 8:
+                raise ValueError(
+                    f"unsupported JPEG sample precision {seg[0]} "
+                    "(baseline is 8-bit)")
             h, w = _be16(seg, 1), _be16(seg, 3)
             comps = []
             for c in range(seg[5]):
@@ -249,69 +359,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"unsupported JPEG SOF marker 0xFF{marker:02X} "
                 "(progressive/arithmetic — baseline only)")
         elif marker == 0xDD:                     # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             restart = _be16(seg, 0)
         elif marker == 0xDA:                     # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
             scan = [(seg[1 + 2 * j], seg[2 + 2 * j] >> 4,
                      seg[2 + 2 * j] & 15) for j in range(ns)]
-            break                                # entropy data follows
+            for c in frame[2]:
+                coefs.setdefault(c[0], [])
+                posn.setdefault(c[0], [])
+            segs, pos = _split_scan(data, pos)
+            _decode_scan(frame, scan, segs, huff, qt, restart,
+                         coefs, posn)
+            # keep parsing: more scans (one-per-component baseline
+            # files) or EOI follow
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not coefs:
         raise ValueError("truncated JPEG (missing SOF/SOS)")
-    segs, _ = _split_scan(data, pos)
-
     height, width, comps = frame
-    if {cid for cid, _, _ in scan} != {c[0] for c in comps}:
-        raise ValueError("JPEG scan components do not match frame")
+    missing = [c[0] for c in comps if not coefs.get(c[0])]
+    if missing:
+        raise ValueError(f"JPEG scans missing components {missing}")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mx = -(-width // (8 * hmax))
     my = -(-height // (8 * vmax))
-    sel = {cid: (td, ta) for cid, td, ta in scan}
-
-    # per component: list of zigzag coefficient rows + block positions
-    coefs = {c[0]: [] for c in comps}
-    posn = {c[0]: [] for c in comps}
-    pred = {c[0]: 0 for c in comps}
-    seg_i = 0
-    br = _BitReader(segs[0])
-    for m in range(mx * my):
-        if restart and m and m % restart == 0:
-            seg_i += 1                           # RST: next segment,
-            if seg_i >= len(segs):
-                raise ValueError("JPEG missing restart segment")
-            br = _BitReader(segs[seg_i])         # byte-aligned
-            pred = {c[0]: 0 for c in comps}
-        mcu_y, mcu_x = divmod(m, mx)
-        for cid, ch, cv, tq in comps:
-            td, ta = sel[cid]
-            dct = huff.get((0, td))
-            act = huff.get((1, ta))
-            q = qt.get(tq)
-            if dct is None or act is None or q is None:
-                raise ValueError("JPEG references undefined table")
-            for by in range(cv):
-                for bx in range(ch):
-                    zz = np.zeros(64, dtype=np.float64)
-                    s = _read_symbol(br, dct)
-                    pred[cid] += _extend(br.take(s), s)
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = _read_symbol(br, act)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break            # EOB
-                            k += 16              # ZRL
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        zz[k] = _extend(br.take(s), s)
-                        k += 1
-                    coefs[cid].append(zz * q)
-                    posn[cid].append((mcu_y * cv + by, mcu_x * ch + bx))
 
     planes = []
     for cid, ch, cv, _ in comps:

@@ -151,3 +151,121 @@ def test_jpeg_decode_image_stage_real_decode():
     want = _block_mean_resize(
         decode_jpeg(payload).mean(axis=2), 8, 8).flatten()
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code; they are padding, not markers or segment bytes."""
+    img = _test_image(16, 16)
+    data = encode_jpeg(img, quality=85)
+    base = decode_jpeg(data)
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xff\xff\xda", 1)
+    np.testing.assert_array_equal(decode_jpeg(padded), base)
+
+
+def test_jpeg_truncated_raises_value_error():
+    """Malformed/truncated headers raise the documented ValueError,
+    never a bare IndexError."""
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xda\x00\x02\xff\xd9")
+    data = encode_jpeg(_test_image(16, 16))
+    sof = data.find(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:sof + 6])             # cut mid-SOF
+    bad = bytearray(data)
+    bad[sof + 2:sof + 4] = (0xFFFF).to_bytes(2, "big")
+    with pytest.raises(ValueError):             # length past EOF
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_rejects_non_8bit_precision():
+    """12-bit extended-sequential input raises loudly instead of
+    silently decoding with the wrong level shift."""
+    data = bytearray(encode_jpeg(_test_image(16, 16)))
+    sof = data.find(b"\xff\xc0")
+    assert data[sof + 4] == 8                   # precision byte
+    data[sof + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("rst", [0, 3])
+def test_jpeg_grayscale_sampling_factors_gt1(rst):
+    """A 1-component frame may declare sampling factors >1; its single
+    scan is then NON-interleaved (T.81 A.2.3) with MCU = one data unit
+    in raster order over the component's own block grid — which makes
+    the entropy stream identical to the 1x1-sampling encoding of the
+    same pixels, so patching the SOF sampling byte must not change the
+    decode."""
+    g = _test_image(16, 32)[:, :, 0].copy()
+    data = bytearray(encode_jpeg(g, quality=90, restart_interval=rst))
+    base = decode_jpeg(bytes(data))
+    sof = data.find(b"\xff\xc0")
+    assert data[sof + 11] == 0x11               # comp sampling h|v
+    data[sof + 11] = 0x22
+    np.testing.assert_array_equal(decode_jpeg(bytes(data)), base)
+
+
+def _encode_3scan(img, quality=90):
+    """Assemble a legal baseline JPEG with one SOS PER COMPONENT
+    (non-interleaved sequential scans, 4:4:4), reusing the codec's own
+    block/Huffman kernels so the coefficients match encode_jpeg's."""
+    from raylink import jpeg as J
+
+    h, w = img.shape[:2]
+    qlum, qchrom = J._quality_tables(quality)
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+              0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    out = bytearray(b"\xff\xd8")
+    dqt = b"\x00" + qlum[J._ZIGZAG].astype(np.uint8).tobytes()
+    dqt += b"\x01" + qchrom[J._ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+        bytes([3])
+    for c in range(3):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    dht = b""
+    for tid, (bits, vals) in [(0x00, J._DC_LUM), (0x10, J._AC_LUM),
+                              (0x01, J._DC_CHROM),
+                              (0x11, J._AC_CHROM)]:
+        dht += bytes([tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    nbx, nby = -(-w // 8), -(-h // 8)
+    for c, plane in enumerate(planes):
+        grid = J._plane_blocks(plane, nby * 8, nbx * 8)
+        q = qlum if c == 0 else qchrom
+        dct = np.einsum("ux,nxy,vy->nuv", J._T,
+                        grid.reshape(-1, 8, 8) - 128.0, J._T)
+        zz = np.round(dct.reshape(-1, 64)[:, J._ZIGZAG] /
+                      q[J._ZIGZAG]).astype(np.int32)
+        dc_t = J._huff_encode_table(
+            *(J._DC_LUM if c == 0 else J._DC_CHROM))
+        ac_t = J._huff_encode_table(
+            *(J._AC_LUM if c == 0 else J._AC_CHROM))
+        sos = bytes([1, c + 1, 0x00 if c == 0 else 0x11]) + \
+            b"\x00\x3f\x00"
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        bw = J._BitWriter()
+        pred = 0
+        for zzrow in zz:
+            pred = J._encode_block(bw, zzrow, pred, dc_t, ac_t)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_multi_scan_one_component_per_sos():
+    """Baseline files may carry the components in sequential
+    non-interleaved scans (one SOS each); the decode must match the
+    interleaved single-scan encoding of the same image exactly (the
+    quantized coefficients are identical by construction)."""
+    img = _test_image(24, 24, seed=9)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    got = decode_jpeg(_encode_3scan(img, quality=90))
+    np.testing.assert_array_equal(got, base)
