@@ -1495,13 +1495,46 @@ def q_media_features(sf_dir: str):
     Self-checking (VERDICT r3 #3): every row carries ``roundtrip_ok``
     (decoded pixels re-encoded and decoded again, bit-equal), asserted
     all-true in-query — the codec is verified by the gate row itself,
-    not only by pytest."""
-    from raylink.multimodal import build_media_fixture, decode_images
+    not only by pytest.
+
+    r5: the fixture's Motion-JPEG MP4 videos (raylink/mp4.py container
+    parser + the raylink/jpeg.py codec — no ffmpeg) join the row:
+    strict frame sampling pulls real JPEG sample bytes from each
+    video's sample table and the SAME strict decode+roundtrip stage
+    runs over the sampled frames, so the full video path (box tree ->
+    stsc/stsz/stco sample map -> JPEG entropy decode) is verified by
+    the gate row itself."""
+    from raylink.multimodal import (build_media_fixture, decode_images,
+                                    sample_frames)
 
     media = rd.from_arrow(build_media_fixture(128))
     imgs = media.filter(lambda r: r["kind"] == "image")
     out = decode_images(imgs, concurrency=2, strict=True,
-                        check_roundtrip=True).materialize()
+                        check_roundtrip=True)
+    # MJPEG mp4 videos (the fixture's opaque non-MJPEG payloads keep
+    # exercising the honest fallback elsewhere; magic-byte gate here)
+    vids = media.filter(
+        lambda r: r["kind"] == "video" and
+        bytes(r["payload"])[4:8] == b"ftyp")
+    frames = sample_frames(vids, concurrency=2, every_ms=500,
+                           strict=True)
+
+    def _as_media(batch: "pa.Table") -> "pa.Table":
+        n = batch.num_rows
+        return pa.table({
+            "media_id": pa.compute.binary_join_element_wise(
+                batch.column("media_id").cast(pa.string()),
+                pa.compute.cast(batch.column("frame_ts_ms"),
+                                pa.string()), "@"),
+            "payload": batch.column("frame"),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+        })
+
+    frame_feats = decode_images(
+        frames.map_batches(_as_media, batch_format="pyarrow"),
+        concurrency=2, strict=True, check_roundtrip=True)
+    out = out.union(frame_feats).materialize()
     n = out.count()
     if n == 0:
         # Dataset.sum returns None on empty input — an empty fixture
@@ -1510,7 +1543,7 @@ def q_media_features(sf_dir: str):
     ok = out.sum("roundtrip_ok") or 0
     if ok != n:
         raise AssertionError(
-            f"media decode round-trip failed for {n - ok}/{n} images")
+            f"media decode round-trip failed for {n - ok}/{n} rows")
     return out
 
 

@@ -4,9 +4,10 @@ decode/encode with numpy + zlib + wave — no PIL/opencv/ffmpeg required.
 These make the multimodal stages' decode REAL for the formats
 expressible without external libraries (reference parity note: the
 reference has no media path at all; this backs the engine's own
-multimodal operators, see raylink/multimodal.py). MP4/H.264 remains
-the one declared stub in multimodal.py (frame extraction genuinely
-needs ffmpeg).
+multimodal operators, see raylink/multimodal.py). Video is covered by
+raylink.mp4 (ISO-BMFF parser/writer + Motion-JPEG frames via the
+raylink.jpeg codec); only H.264/H.265 PIXEL decode remains honestly
+out of scope (needs a real codec library).
 
 PNG support: 8-bit greyscale / RGB / RGBA, non-interlaced, all five
 scanline filter types on decode (encode emits filter 0). BMP support:

@@ -2,15 +2,16 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-Decode is REAL for PNG / BMP / baseline JPEG images and PCM WAV
-audio, via raylink.mediacodec (zlib + wave + numpy; no
-PIL/opencv/ffmpeg needed — JPEG is the from-scratch baseline codec in
-raylink.jpeg). The one format whose decoder genuinely requires an
-external library (MP4/H.264 frame extraction) remains a declared
-stub: strict mode raises NotImplementedError, non-strict falls back
-to a deterministic fake so the Ray-side plumbing (schema, small batch
-sizes for large payloads, actor signature, output layout) stays
-testable end-to-end either way.
+Decode is REAL for PNG / BMP / baseline JPEG images, PCM WAV audio
+AND Motion-JPEG MP4 video, via raylink.mediacodec (zlib + wave +
+numpy; no PIL/opencv/ffmpeg — JPEG is the from-scratch baseline codec
+in raylink.jpeg, the MP4 container parser/writer is raylink.mp4).
+The only remaining honest gap is H.264/H.265 PIXEL decode (genuinely
+needs a codec library): such payloads still probe for metadata, but
+strict mode raises NotImplementedError on frame decode and non-strict
+falls back to a deterministic fake so the Ray-side plumbing (schema,
+small batch sizes for large payloads, actor signature, output layout)
+stays testable end-to-end either way.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from .mediacodec import (
     encode_wav,
     sniff_media,
 )
+from .mp4 import encode_mjpeg_mp4, iter_mjpeg_samples
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -101,10 +103,22 @@ class DecodeImage:
             px = decode_bmp(data)
         elif kind == "jpeg":
             px = decode_jpeg(data)
+        elif kind == "mp4":
+            # Motion-JPEG video: first frame, via the repo's own
+            # container parser + JPEG codec (raylink.mp4)
+            try:
+                _ts, jpeg = next(iter_mjpeg_samples(data))
+            except (ValueError, StopIteration) as exc:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"cannot decode MP4 frame: {exc} (H.264/H.265 "
+                        "pixel decode needs a codec library, not in "
+                        "this environment)") from exc
+                return _fake_pixels(data, max(width, 1), max(height, 1))
+            px = decode_jpeg(jpeg)
         elif self.strict:
             raise NotImplementedError(
-                f"no stdlib decoder for {kind!r} payloads (MP4 frame "
-                f"extraction needs ffmpeg, not in this environment)")
+                f"no stdlib decoder for {kind!r} payloads")
         else:
             return _fake_pixels(data, max(width, 1), max(height, 1))
         if px.ndim == 2:                       # grayscale -> 3 channel
@@ -189,12 +203,48 @@ class AudioFeatures:
 
 
 class SampleFrames:
-    """Video frame sampling STUB: emits every-N 'frame' payload slices
-    with deterministic offsets (a real impl needs ffmpeg, not present
-    in this environment)."""
+    """Video frame sampling: every ``every_ms`` milliseconds emit one
+    (media_id, frame_ts_ms, frame) row.
 
-    def __init__(self, every_ms: int = 1000):
+    REAL for Motion-JPEG MP4 payloads: the container's sample table is
+    parsed (raylink.mp4) and ``frame`` is the actual JPEG bytes of the
+    last frame at-or-before each sample instant — decodable downstream
+    by DecodeImage with zero extra plumbing. Non-MJPEG codecs
+    (H.264/H.265 — genuinely need a codec library) raise in strict
+    mode or fall back to the deterministic fake slices so the Ray-side
+    plumbing stays testable."""
+
+    def __init__(self, every_ms: int = 1000, strict: bool = False):
         self.every_ms = every_ms
+        self.strict = strict
+
+    def _fake(self, data: bytes, dur: int):
+        for ts in range(0, max(dur or 0, 1), self.every_ms):
+            lo = (ts * 31) % max(len(data), 1)
+            yield ts, data[lo:lo + 64]
+
+    def _frames(self, data: bytes, dur: int):
+        if sniff_media(data) != "mp4":
+            if self.strict:
+                raise NotImplementedError(
+                    "frame sampling needs an MP4 payload")
+            yield from self._fake(data, dur)
+            return
+        try:
+            samples = list(iter_mjpeg_samples(data))
+        except ValueError as exc:
+            if self.strict:
+                raise NotImplementedError(
+                    f"cannot sample MP4 frames: {exc}") from exc
+            yield from self._fake(data, dur)
+            return
+        # as-of pick: the last frame at-or-before each sample instant
+        end_ms = max(dur or 0, samples[-1][0] + 1 if samples else 1)
+        i = 0
+        for ts in range(0, end_ms, self.every_ms):
+            while i + 1 < len(samples) and samples[i + 1][0] <= ts:
+                i += 1
+            yield ts, samples[i][1]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -202,12 +252,10 @@ class SampleFrames:
         durs = batch.column("duration_ms").to_pylist()
         out_id, out_ts, out_bytes = [], [], []
         for mid, data, dur in zip(ids, payloads, durs):
-            data = data or b""
-            for ts in range(0, max(dur or 0, 1), self.every_ms):
-                lo = (ts * 31) % max(len(data), 1)
+            for ts, frame in self._frames(data or b"", dur):
                 out_id.append(mid)
                 out_ts.append(ts)
-                out_bytes.append(data[lo:lo + 64])
+                out_bytes.append(frame)
         return pa.table(
             {
                 "media_id": pa.array(out_id, pa.string()),
@@ -244,10 +292,10 @@ def audio_features(ds, concurrency: int = 2, batch_size: int = 64,
 
 
 def sample_frames(ds, concurrency: int = 2, batch_size: int = 32,
-                  every_ms: int = 1000):
+                  every_ms: int = 1000, strict: bool = False):
     return ds.map_batches(
         SampleFrames,
-        fn_constructor_kwargs={"every_ms": every_ms},
+        fn_constructor_kwargs={"every_ms": every_ms, "strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -260,8 +308,9 @@ def build_media_fixture(n: int = 64, seed: int = 42) -> pa.Table:
     PNGs and baseline JPEGs (seeded gradient+noise pixels; every
     second image is JPEG, alternating 4:4:4 / 4:2:0 subsampling),
     audio payloads are REAL PCM WAVs (seeded sine tones); video
-    payloads stay opaque bytes (the frame sampler is a declared
-    stub)."""
+    payloads are REAL Motion-JPEG MP4s (raylink.mp4) — except every
+    third video, which stays opaque non-MJPEG bytes so the honest
+    H.264-class fallback/strict paths keep coverage."""
     ids, kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
     for i in range(n):
         rng = np.random.RandomState(seed * 100_003 + i)
@@ -300,9 +349,26 @@ def build_media_fixture(n: int = 64, seed: int = 42) -> pa.Table:
             ws.append(0)
             hs.append(0)
             durs.append(dur_ms)
+        elif kind == "video" and (i // 3) % 3 != 2:
+            nf = 3 + i % 4
+            fps = 2 + i % 3
+            w, h = 16 + (i % 3) * 8, 16
+            yy, xx = np.mgrid[0:h, 0:w]
+            vid = np.stack([
+                (((xx * 7 + yy * 3 + f * 29) % 256)[:, :, None] *
+                 np.array([1, 1, 0]) +
+                 rng.randint(0, 32, size=(h, w, 3))).clip(0, 255)
+                for f in range(nf)]).astype(np.uint8)
+            payloads.append(encode_mjpeg_mp4(vid, fps=fps, quality=88))
+            mimes.append("video/mp4")
+            ws.append(w)
+            hs.append(h)
+            durs.append(int(nf * 1000 / fps))
         else:
-            h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-            payloads.append(h * (8 + i % 5))
+            # opaque non-MJPEG bytes: exercises the honest
+            # strict-raise / deterministic-fake paths
+            hsh = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            payloads.append(hsh * (8 + i % 5))
             mimes.append("video/mp4")
             ws.append(0)
             hs.append(0)
