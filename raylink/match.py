@@ -588,9 +588,12 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
     Opting in no longer TRUSTS the caller's layout claim blindly
     (VERDICT r3 #8): an adjacency probe over 4 sampled blocks
     (:func:`_layout_probe_clustered`) detects key-sorted/partitioned
-    layouts and falls back to the exact full scan, so a CLI user
-    feeding key-clustered parquet gets the slow-but-exact path instead
-    of inheriting the sample's miss probability."""
+    layouts and switches to a deterministic positional STRIDE sample
+    (every k-th row of every block) — layout-independent by
+    construction, so a CLI user feeding key-clustered parquet keeps
+    sample-speed skew detection without inheriting the block sample's
+    miss probability (r5; previously this fell back to the exact full
+    scan, 15.9 s of a ~67 s sf0.1 linkage)."""
     from .blocking import block_size_histogram
 
     cutoff = float(cfg.salt_over) * cutoff_scale
@@ -602,14 +605,35 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
 
             logging.getLogger(__name__).warning(
                 "find_hot_blocks: sampled blocks look CLUSTERED by "
-                "block key (adjacency probe); falling back to the "
-                "exact full scan")
-            # genuinely FULL scan (cutoff unchanged) — assigning None
-            # here used to fall through into the row-sample branch
-            # below, which is probabilistic, not the exactness the
-            # warning promises (code-review r4)
+                "block key (adjacency probe); switching to the "
+                "positional stride sample (layout-independent)")
+            # r5: the probe firing used to force the exact full scan
+            # (15.9 s of a ~67 s sf0.1 linkage, finding 0 hot keys on
+            # the adjacency-clustered fixture). A DETERMINISTIC
+            # positional stride (keep every k-th row of every block)
+            # does not carry the block-sample's layout assumption at
+            # all: it scans every block and thins each CONTIGUOUS run
+            # of a key at exactly rate 1/k (a run of length L yields
+            # floor/ceil(L/k) samples — tighter than the Poisson tail
+            # of a random sample), so key-clustered layouts are the
+            # case it handles BEST. Residual blind spot: a layout
+            # whose key runs align with period k (contrived); a missed
+            # hot key still fails loudly downstream via the scorer's
+            # max_block_pairs guard, never silently wrong. Over-salt
+            # from a boundary overcount is harmless (pair coverage is
+            # exact either way).
+            import numpy as np
+
+            stride = max(2, int(round(1.0 / sample_fraction)))
+
+            def _stride_rows(batch: pa.Table) -> pa.Table:
+                return batch.take(
+                    pa.array(np.arange(0, batch.num_rows, stride)))
+
+            ds = ds.map_batches(_stride_rows, batch_format="pyarrow")
+            cutoff = cfg.salt_over * (1.0 / stride) * 0.5
             sampled = None
-            sample_fraction = 1.0
+            sample_fraction = 1.0      # skip the branches below
         if sampled is not None:
             # block-level sample: reads only ~fraction of the blocks
             # (a row sample still scans every block). ASSUMPTION: row

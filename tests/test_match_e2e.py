@@ -196,9 +196,14 @@ def test_unmatched_antijoin(fixture_data):
 def test_hot_block_sample_layout_probe():
     """VERDICT r3 #8: a key-SORTED input must not inherit the block
     sample's hot-key miss probability — the adjacency probe detects the
-    clustered layout and find_hot_blocks falls back to the exact full
-    scan, so the sampled scan returns the same hot set as the full one.
-    Also unit-checks the probe's two verdicts directly."""
+    clustered layout and find_hot_blocks switches to the positional
+    stride sample (r5; previously the exact full scan), which thins
+    every contiguous key run at exactly rate 1/k: the 400-row hot run
+    samples ~40 against the scaled cutoff 3.2, each 10-row cold key
+    samples exactly 1 — so the sampled scan returns the same hot set
+    as the full one, with neither the block sample's miss risk nor its
+    cold-key over-flagging. Also unit-checks the probe's two verdicts
+    directly."""
     import ray
 
     from raylink.match import _layout_probe_clustered, find_hot_blocks
