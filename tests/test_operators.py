@@ -220,7 +220,15 @@ def test_multimodal_plumbing():
     assert f1 == f2
     vids = media.filter(lambda r: r["kind"] == "video")
     frames = sample_frames(vids, concurrency=2).to_pandas()
-    assert (frames.groupby("media_id").size() >= 3).all()
+    # exact count per video: one frame per started 1000ms of duration
+    # (real MJPEG as-of sampling and the opaque-payload fallback agree
+    # on this by construction; the fixture's real videos are short —
+    # 750-1500ms — so counts of 1-2 are correct, not a sampling bug)
+    vpd = vids.to_pandas()
+    expected = {m: -(-int(d) // 1000)
+                for m, d in zip(vpd["media_id"], vpd["duration_ms"])}
+    assert frames.groupby("media_id").size().to_dict() == expected
+    assert (frames["frame_ts_ms"] % 1000 == 0).all()
 
 
 def test_checkpoint_resume(tmp_path):
