@@ -352,6 +352,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 o = 6 + 3 * c
                 comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 15,
                               seg[o + 2]))
+            if h == 0 or w == 0 or not comps:
+                raise ValueError("JPEG SOF with zero dimensions or "
+                                 "no components")
+            # T.81 B.2.2: sampling factors are 1-4; a crafted 0 would
+            # surface downstream as ZeroDivisionError, not the
+            # ValueError this module promises on malformed input
+            if any(ch < 1 or ch > 4 or cv < 1 or cv > 4
+                   for _, ch, cv, _ in comps):
+                raise ValueError("JPEG SOF sampling factor out of "
+                                 "range 1-4")
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):

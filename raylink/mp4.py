@@ -97,11 +97,13 @@ def _parse_track(data: bytes, t0: int, t1: int) -> dict:
         for d0, _d1 in _find(data, m0, m1, [b"mdhd"]):
             info["timescale"], info["duration"] = _mdhd_times(data, d0)
         for s0, s1 in _find(data, m0, m1, [b"minf", b"stbl"]):
-            info.update(_parse_stbl(data, s0, s1))
+            info.update(_parse_stbl(
+                data, s0, s1, visual=info["handler"] == "vide"))
     return info
 
 
-def _parse_stbl(data: bytes, s0: int, s1: int) -> dict:
+def _parse_stbl(data: bytes, s0: int, s1: int,
+                visual: bool = True) -> dict:
     """Sample-table boxes -> codec fourcc, dims, per-sample
     (offset, size, time) arrays. Implements the full stsc run-length
     chunk map and both stco/co64."""
@@ -117,7 +119,12 @@ def _parse_stbl(data: bytes, s0: int, s1: int) -> dict:
                 # first VisualSampleEntry: size(4) fourcc(4) ...
                 e0 = b0 + 8
                 out["codec"] = data[e0 + 4:e0 + 8].decode("latin1")
-                if b1 - e0 >= 36 and out["codec"] not in ("mp4a",):
+                # dims live at offset 32 only in a VisualSampleEntry;
+                # in a SoundSampleEntry those bytes are the 16.16
+                # samplerate (a one-codec 'mp4a' blacklist reported
+                # width=44100 for any other audio fourcc) — key off
+                # the track's hdlr type instead
+                if visual and b1 - e0 >= 36:
                     w, h = struct.unpack(">HH", data[e0 + 32:e0 + 36])
                     out["width"], out["height"] = w, h
         elif fourcc == b"stsz":

@@ -106,8 +106,13 @@ class DecodeImage:
         elif kind == "mp4":
             # Motion-JPEG video: first frame, via the repo's own
             # container parser + JPEG codec (raylink.mp4)
+            # decode_jpeg stays INSIDE the try: an MJPEG sample the
+            # baseline codec can't decode (progressive/corrupt) must
+            # hit the same strict-raise / fake-fallback contract as a
+            # missing sample, not escape the actor pool as ValueError
             try:
                 _ts, jpeg = next(iter_mjpeg_samples(data))
+                px = decode_jpeg(jpeg)
             except (ValueError, StopIteration) as exc:
                 if self.strict:
                     raise NotImplementedError(
@@ -115,7 +120,6 @@ class DecodeImage:
                         "pixel decode needs a codec library, not in "
                         "this environment)") from exc
                 return _fake_pixels(data, max(width, 1), max(height, 1))
-            px = decode_jpeg(jpeg)
         elif self.strict:
             raise NotImplementedError(
                 f"no stdlib decoder for {kind!r} payloads")
@@ -238,8 +242,17 @@ class SampleFrames:
                     f"cannot sample MP4 frames: {exc}") from exc
             yield from self._fake(data, dur)
             return
+        if not samples:
+            # a zero-sample stsz yields nothing without raising; the
+            # as-of pick below would IndexError — route through the
+            # same strict/fake contract instead
+            if self.strict:
+                raise NotImplementedError(
+                    "cannot sample MP4 frames: sample table is empty")
+            yield from self._fake(data, dur)
+            return
         # as-of pick: the last frame at-or-before each sample instant
-        end_ms = max(dur or 0, samples[-1][0] + 1 if samples else 1)
+        end_ms = max(dur or 0, samples[-1][0] + 1)
         i = 0
         for ts in range(0, end_ms, self.every_ms):
             while i + 1 < len(samples) and samples[i + 1][0] <= ts:

@@ -269,3 +269,15 @@ def test_jpeg_multi_scan_one_component_per_sos():
     base = decode_jpeg(encode_jpeg(img, quality=90))
     got = decode_jpeg(_encode_3scan(img, quality=90))
     np.testing.assert_array_equal(got, base)
+
+
+def test_jpeg_zero_sampling_factor_raises_value_error():
+    """A crafted SOF whose component sampling factor is 0 must raise
+    the documented ValueError, not ZeroDivisionError downstream in
+    the MCU-grid ceil divisions (code-review r5)."""
+    data = bytearray(encode_jpeg(_test_image(16, 16)))
+    sof = data.find(b"\xff\xc0")
+    assert data[sof + 11] in (0x11, 0x21, 0x22)  # comp-0 sampling
+    data[sof + 11] = 0x00
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(data))

@@ -214,3 +214,82 @@ def test_media_fixture_videos_are_real_mjpeg():
         else:
             fake += 1
     assert real > 0 and fake > 0
+
+
+def test_sample_frames_empty_sample_table():
+    """An MJPEG mp4 whose stsz declares ZERO samples (stripped /
+    still-initializing file) must route through the strict-raise /
+    fake-fallback contract, not die on a bare IndexError in the
+    as-of pick (code-review r5)."""
+    import pyarrow as pa
+
+    from raylink.multimodal import SampleFrames
+
+    data = bytearray(encode_mjpeg_mp4(_frames(3), fps=2))
+    i = data.find(b"stsz")
+    assert i > 0
+    data[i + 12:i + 16] = struct.pack(">I", 0)      # sample count -> 0
+    batch = pa.table({
+        "media_id": ["v"],
+        "payload": pa.array([bytes(data)], pa.binary()),
+        "duration_ms": pa.array([2500], pa.int32()),
+    })
+    with pytest.raises(NotImplementedError):
+        SampleFrames(every_ms=1000, strict=True)(batch)
+    out = SampleFrames(every_ms=1000, strict=False)(batch)
+    assert out.column("frame_ts_ms").to_pylist() == [0, 1000, 2000]
+
+
+def test_decode_image_undecodable_mjpeg_sample():
+    """An mp4 whose sample-entry fourcc says MJPEG but whose first
+    sample the baseline codec rejects (here: SOF0 flipped to
+    progressive SOF2) must honor the strict/fallback contract — the
+    decode_jpeg call sits INSIDE the try (code-review r5)."""
+    import pyarrow as pa
+
+    from raylink.multimodal import DecodeImage
+
+    data = bytearray(encode_mjpeg_mp4(_frames(2), fps=2, quality=85))
+    m = data.find(b"mdat")
+    sof = data.find(b"\xff\xc0", m)
+    assert sof > m > 0
+    data[sof + 1] = 0xC2                            # -> progressive
+    batch = pa.table({
+        "media_id": ["v"],
+        "payload": pa.array([bytes(data)], pa.binary()),
+        "width": pa.array([32], pa.int32()),
+        "height": pa.array([24], pa.int32()),
+    })
+    with pytest.raises(NotImplementedError):
+        DecodeImage(out_size=(2, 2), strict=True)(batch)
+    out = DecodeImage(out_size=(2, 2), strict=False)(batch)
+    assert len(out.column("feature")[0].as_py()) == 4  # fake, no raise
+
+
+def test_probe_mp4_audio_track_has_no_dims():
+    """A SoundSampleEntry stores the 16.16 samplerate at the byte
+    offset where a VisualSampleEntry stores width/height; the probe
+    must key off the hdlr type, not a one-codec blacklist — a 'twos'
+    audio track used to report width=44100 (code-review r5)."""
+    from raylink.mp4 import _box, _full
+
+    entry = (struct.pack(">I", 36) + b"twos" + b"\x00" * 6 +
+             struct.pack(">H", 1) +                  # data-ref index
+             struct.pack(">HHIHHHH", 0, 0, 0, 2, 16, 0, 0) +
+             struct.pack(">I", 44100 << 16))         # 16.16 rate
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd)
+    hdlr = _full(b"hdlr", 0, 0,
+                 struct.pack(">I", 0) + b"soun" + b"\x00" * 12)
+    mdhd = _full(b"mdhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, 8000, 8000) +
+                 struct.pack(">HH", 0, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, 1000, 2000) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + _box(b"trak", mdia))
+    data = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom") + moov
+    info = probe_mp4(data)
+    (tr,) = info["tracks"]
+    assert tr["handler"] == "soun" and tr["codec"] == "twos"
+    assert tr["width"] == 0 and tr["height"] == 0
