@@ -42,11 +42,35 @@ from .config import fingerprint
 _PART_COL = "_ckpt_part"
 
 
+def _schema_hex(ds) -> str | None:
+    """Arrow-IPC hex of a Dataset's schema (JSON-safe), or None when
+    the schema is unknowable. Known limit: a fully-EMPTY pandas-origin
+    dataset has no schema anywhere in Ray (empty blocks skip both the
+    UDF and format conversion), so only arrow-shaped stages — every
+    repo pipeline — round-trip their schema through a zero-row
+    checkpoint."""
+    try:
+        sch = ds.schema()
+        if sch is None or not sch.names:
+            return None
+        arrow = pa.schema(list(zip(sch.names, sch.types)))
+        return bytes(arrow.serialize()).hex()
+    except Exception:
+        return None
+
+
 def partition_of(values, num_partitions: int) -> np.ndarray:
     """Deterministic id -> partition map used on BOTH the input filter
-    and the output router (pd.util.hash_array: stable across processes
-    and dtypes, C-level)."""
+    and the output router. Non-string ids are canonicalized to their
+    STRING form before hashing: hash_array(int id) differs from
+    hash_array(str id), so a fn that changes the id column's dtype
+    (e.g. match casts ids to pa.string()) would otherwise route output
+    rows into different partitions than the input filter drops —
+    silent row loss on resume (code-review r5). String ids (the repo's
+    url/block_key usage) take the fast path untouched."""
     arr = np.asarray(values)
+    if arr.dtype.kind not in ("O", "S"):
+        arr = arr.astype("U").astype(object)
     return (pd.util.hash_array(arr, categorize=False)
             % np.uint64(num_partitions)).astype(np.int32)
 
@@ -80,6 +104,18 @@ class CheckpointManager:
         m = self._read_manifest(stage)
         return bool(m and m.get("fingerprint") == fp and m.get("done"))
 
+    def _invalidate_manifest(self, stage: str) -> None:
+        """Remove the stage's done-manifest BEFORE mutating its data
+        dir. Without this, a crash mid-recompute at a NEW fingerprint
+        leaves the OLD fingerprint's manifest vouching for a data dir
+        that now holds partial new-fingerprint files — a later run at
+        the old config would skip recompute and load wrong rows
+        (code-review r5). With it, the crash window degrades to a full
+        (or sidecar-granular) recompute, never silent wrong data."""
+        path = self._manifest_path(stage)
+        if os.path.exists(path):
+            os.remove(path)
+
     def load(self, stage: str):
         data_dir = os.path.join(self._stage_dir(stage), "data")
         files = sorted(
@@ -87,6 +123,15 @@ class CheckpointManager:
             if f.endswith(".parquet")
         ) if os.path.isdir(data_dir) else []
         if not files:
+            # a stage can legitimately produce ZERO rows; a bare
+            # pa.table({}) has no columns and crashes consumers that
+            # select the stage's schema — reconstruct the empty table
+            # from the schema persisted in the manifest (code-review r5)
+            m = self._read_manifest(stage) or {}
+            if m.get("schema_hex"):
+                sch = pa.ipc.read_schema(
+                    pa.BufferReader(bytes.fromhex(m["schema_hex"])))
+                return rd.from_arrow(sch.empty_table())
             return rd.from_arrow(pa.table({}))
         return rd.read_parquet(files)
 
@@ -107,21 +152,39 @@ class CheckpointManager:
         ds = fn()
         data_dir = os.path.join(self._stage_dir(stage), "data")
         os.makedirs(data_dir, exist_ok=True)
+        # any manifest present here is stale (wrong fingerprint or not
+        # done) — drop it BEFORE touching the data dir so a crash
+        # between the clear and the fresh manifest can never leave an
+        # old manifest vouching for new/partial data (code-review r5)
+        self._invalidate_manifest(stage)
         for name in os.listdir(data_dir):
             # stale files from an older fingerprint would otherwise be
             # read back alongside the fresh write
             os.remove(os.path.join(data_dir, name))
         ds.write_parquet(data_dir)
-        out = self.load(stage)
-        rows = out.count()
-        wall = time.perf_counter() - t0
+        schema_hex = None
+        if not any(f.endswith(".parquet") for f in os.listdir(data_dir)):
+            # zero-row stage: no parquet file carries the schema, so
+            # persist it in the manifest (ds.schema() may re-execute
+            # the zero-row plan — rare, and downstream select_columns
+            # correctness beats the extra pass; code-review r5)
+            schema_hex = _schema_hex(ds)
         record = {
             "stage": stage,
             "fingerprint": fp,
-            "rows_out": rows,
-            "wall_s": round(wall, 3),
+            "wall_s": None,
             "done": True,
         }
+        if schema_hex:
+            record["schema_hex"] = schema_hex
+        # manifest must exist before load() so a zero-row stage can
+        # reconstruct its schema; rows_out is patched in after
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(record, f)
+        out = self.load(stage)
+        rows = out.count()
+        record["rows_out"] = rows
+        record["wall_s"] = round(time.perf_counter() - t0, 3)
         with open(self._manifest_path(stage), "w") as f:
             json.dump(record, f)
         self._lineage.append({**record, "skipped": False})
@@ -202,6 +265,13 @@ class CheckpointManager:
                     "rows_out": rec.get("rows"),
                     "wall_s": rec.get("wall_s"), "skipped": True})
             return self.load(stage), fp
+
+        # the manifest present here (if any) is stale — drop it BEFORE
+        # the stale-clean below mutates sidecars/data, so a crash
+        # mid-recompute can never leave an old-fingerprint manifest
+        # vouching for a partially-rewritten data dir; the crash window
+        # degrades to sidecar-granular recompute (code-review r5)
+        self._invalidate_manifest(stage)
 
         # clear stale artifacts of NOT-done partitions (older
         # fingerprints, interrupted tmp files) so a recomputed-empty
@@ -315,6 +385,14 @@ class CheckpointManager:
                                   for rec in done.values())),
             "wall_s": round(wall, 3),
         }
+        if not written and not done:
+            # zero-output stage: no parquet file carries the schema, so
+            # persist it for load() (re-executes `out`, which produced
+            # zero rows — rare, and correctness of downstream
+            # select_columns beats the extra pass; code-review r5)
+            hexed = _schema_hex(out)
+            if hexed:
+                record["schema_hex"] = hexed
         with open(self._manifest_path(stage), "w") as f:
             json.dump(record, f)
         return self.load(stage), fp

@@ -11,9 +11,9 @@ Absent in the reference (which stops at pairwise edges, match.py:174);
 required by the north rule ("transitive-clustering"). J8 in SURVEY §2.4.
 
 Convergence detection without an extra join: labels only ever decrease
-(min is monotone), so the sum over nodes of fnv64(node || label) changes
-iff some label changed; we stop when the signature is stable (plus a
-hard ``max_rounds`` bound).
+(min is monotone), so an order-free hash-sum over (node, label) pairs
+(``pd.util.hash_array``, C-level) changes iff some label changed; we
+stop when the signature is stable (plus a hard ``max_rounds`` bound).
 """
 
 from __future__ import annotations
@@ -23,16 +23,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 from .blocks import ensure_arrow
-
-
-def _fnv64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def _sym_edges(edges, src: str, dst: str):
@@ -127,12 +120,18 @@ def connected_components(edges, src: str = "left_id", dst: str = "right_id",
     label_schema = pa.schema([("node", pa.string()),
                               ("label", pa.string())])
 
+    # each round's labels are MATERIALIZED: the signature pass and the
+    # next round's two joins each consume `labels`, and Ray re-executes
+    # an unmaterialized Dataset's whole accumulated lineage per consumer
+    # — O(rounds^2) re-execution of every prior round's shuffles
+    # (code-review r5). One round's labels is one small (node, label)
+    # table; pinning it is the per-round state of the algorithm.
     labels = ensure_arrow(
         sym.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label")),
         schema=label_schema,
-    )
+    ).materialize()
 
     sig = _label_signature(labels)
     for _ in range(max_rounds):
@@ -178,7 +177,7 @@ def connected_components(edges, src: str = "left_id", dst: str = "right_id",
 
         labels = ensure_arrow(
             jumped.map_batches(take_jump, batch_format="pyarrow"),
-            schema=label_schema)
+            schema=label_schema).materialize()
         new_sig = _label_signature(labels)
         if new_sig == sig:
             break

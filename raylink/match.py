@@ -25,20 +25,12 @@ from .blocking import add_block_keys
 from .config import MatchConfig
 from .scoring import (
     combine_scores,
-    digits_score,
     extract_numbers,
     geo_score_km,
     haversine_km,
     tokenize_without_stops,
 )
 from .textkernels import get_scorer, token_set_ratio_from_sets
-
-
-def _fnv64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in str(s).encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def _hash_strings(arr) -> "np.ndarray":
@@ -106,7 +98,10 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
     never meet."""
     import ray
 
-    has_geo = {"lat", "lon"}.issubset(set(ds.schema().names))
+    sch = ds.schema()
+    # Dataset.schema() is None for an empty side (e.g. a split that
+    # matched no rows); treat as no-geo instead of AttributeError
+    has_geo = sch is not None and {"lat", "lon"}.issubset(set(sch.names))
     num_salts = cfg.num_salts
     hot_is_ref = isinstance(hot_keys, ray.ObjectRef)
     hot_empty = (not hot_keys) and not hot_is_ref
@@ -117,8 +112,19 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
     if num_buckets is None:
         num_buckets = _effective_buckets(cfg)
 
+    # resolved once per task, not per batch: the hot set is immutable,
+    # and rebuilding pa.array(sorted(hot)) for the is_in value-set on
+    # every batch re-paid H log H + an Arrow construction per batch
+    # (code-review r5)
+    _hot_cache: dict = {}
+
     def project(batch: pa.Table) -> pa.Table:
-        hot = (ray.get(hot_keys) if hot_is_ref else hot_keys) or set()
+        if "set" not in _hot_cache:
+            _hot_cache["set"] = (
+                ray.get(hot_keys) if hot_is_ref else hot_keys) or set()
+            _hot_cache["arr"] = (pa.array(sorted(_hot_cache["set"]))
+                                 if _hot_cache["set"] else None)
+        hot = _hot_cache["set"]
         n = batch.num_rows
         ids = batch.column(id_col).cast(pa.string())
         texts = batch.column(text_col).cast(pa.string())
@@ -150,7 +156,7 @@ def _prepare_side(ds, cfg: MatchConfig, side: int, id_col: str,
             return base.append_column(
                 "_bucket", _bucket_of(key_hash, zeros, num_buckets))
         mask = np.asarray(
-            pc.fill_null(pc.is_in(keys, value_set=pa.array(sorted(hot))),
+            pc.fill_null(pc.is_in(keys, value_set=_hot_cache["arr"]),
                          False).to_numpy(zero_copy_only=False), dtype=bool)
         if side == 0:
             salts = np.where(
@@ -375,8 +381,17 @@ def match_tagged(tagged, cfg: MatchConfig | None = None,
     ds = add_block_keys(tagged, tcol, cfg.block_by,
                         allow_single_bucket=True, reuse=True)
 
+    # same once-per-task cache as _prepare_side (code-review r5): the
+    # hot set and its sorted is_in value-set are immutable per run
+    _hot_cache: dict = {}
+
     def project(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref) if hot_ref is not None else frozenset()
+        if "set" not in _hot_cache:
+            _hot_cache["set"] = (ray.get(hot_ref)
+                                 if hot_ref is not None else frozenset())
+            _hot_cache["arr"] = (pa.array(sorted(_hot_cache["set"]))
+                                 if _hot_cache["set"] else None)
+        hot = _hot_cache["set"]
         n = batch.num_rows
         cols = batch.column_names
         has_geo = "lat" in cols and "lon" in cols
@@ -406,7 +421,7 @@ def match_tagged(tagged, cfg: MatchConfig | None = None,
             return base.append_column(
                 "_bucket", _bucket_of(key_hash, zeros, num_buckets))
         mask = np.asarray(
-            pc.fill_null(pc.is_in(keys, value_set=pa.array(sorted(hot))),
+            pc.fill_null(pc.is_in(keys, value_set=_hot_cache["arr"]),
                          False).to_numpy(zero_copy_only=False), dtype=bool)
         side_np = np.asarray(sides.to_numpy(zero_copy_only=False),
                              dtype=np.int8)
@@ -631,7 +646,8 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
                     pa.array(np.arange(0, batch.num_rows, stride)))
 
             ds = ds.map_batches(_stride_rows, batch_format="pyarrow")
-            cutoff = cfg.salt_over * (1.0 / stride) * 0.5
+            cutoff = (cfg.salt_over * cutoff_scale
+                      * (1.0 / stride) * 0.5)
             sampled = None
             sample_fraction = 1.0      # skip the branches below
         if sampled is not None:
@@ -641,10 +657,16 @@ def find_hot_blocks(ds, text_col: str, cfg: MatchConfig,
             # crawl order); a hot key's rows then spread over many
             # blocks and its sampled count concentrates sharply.
             ds = sampled
-            cutoff = cfg.salt_over * actual * 0.5
+            # the recomputed cutoffs keep multiplying by cutoff_scale:
+            # a caller whose ds was ALREADY sampled upstream AND who
+            # samples again here would otherwise have its scale
+            # silently dropped — blocks hot in the full data would fall
+            # under a cutoff inflated by 1/cutoff_scale
+            # (code-review r5)
+            cutoff = cfg.salt_over * cutoff_scale * actual * 0.5
         elif sample_fraction < 1.0:
             ds = ds.random_sample(sample_fraction, seed=seed)
-            cutoff = cfg.salt_over * sample_fraction * 0.5
+            cutoff = cfg.salt_over * cutoff_scale * sample_fraction * 0.5
     keyed = add_block_keys(ds, text_col, cfg.block_by,
                            allow_single_bucket=True, reuse=True)
     hist = block_size_histogram(keyed)
@@ -699,8 +721,12 @@ def match_datasets(left, right, cfg: MatchConfig | None = None,
     # bucket function — the shuffle cost is one sort over the union.
     # Coalescing blocks first nearly halves the sort wall time (many
     # small upstream blocks inflate the sort's partition bookkeeping).
-    if cfg.shuffle_partitions:
-        both = both.repartition(cfg.shuffle_partitions)
+    # num_partitions, when given, overrides cfg.shuffle_partitions
+    # (it was accepted-but-ignored before — a silent no-op knob,
+    # code-review r5)
+    parts = num_partitions or cfg.shuffle_partitions
+    if parts:
+        both = both.repartition(parts)
     edges = both.groupby("_bucket").map_groups(
         _make_bucket_scorer(cfg), batch_format="pyarrow"
     )

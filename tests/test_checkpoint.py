@@ -333,3 +333,107 @@ print(out["edges"].count())
         p = os.path.join(parts_dir, n)
         assert os.path.exists(p) and os.path.getmtime(p) == t, \
             f"prepared/{n} was recomputed despite surviving the kill"
+
+
+def test_partition_of_dtype_canonical():
+    """int ids and their string forms must map to the SAME partitions:
+    a fn that casts the id dtype (match casts ids to pa.string())
+    would otherwise route outputs into different partitions than the
+    input filter drops — silent row loss on resume (code-review r5)."""
+    ints = np.array([0, 7, 42, 999999], dtype=np.int64)
+    strs = np.array(["0", "7", "42", "999999"], dtype=object)
+    np.testing.assert_array_equal(
+        partition_of(ints, P), partition_of(strs, P))
+
+
+def test_stage_crash_invalidates_stale_manifest(tmp_path):
+    """A crash during a NEW-fingerprint recompute must not leave the
+    OLD fingerprint's manifest vouching for the cleared/partial data
+    dir (code-review r5): the manifest is invalidated BEFORE the data
+    dir is touched, so the worst case is a full recompute — never
+    stale rows served as current."""
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.run("s", {"cfg": 1}, lambda: rd.range(50))
+
+    def boom():
+        def f(t):
+            raise RuntimeError("boom during write")
+
+        return rd.range(50).map_batches(f)
+
+    with pytest.raises(Exception, match="boom"):
+        CheckpointManager(str(tmp_path)).run("s", {"cfg": 2}, boom)
+    assert not os.path.exists(tmp_path / "s" / "manifest.json")
+    out, _ = CheckpointManager(str(tmp_path)).run(
+        "s", {"cfg": 1}, lambda: rd.range(50))
+    assert out.count() == 50
+
+
+def test_partitioned_crash_invalidates_stale_manifest(tmp_path):
+    """Same invariant for run_partitioned: complete at cfg1, crash
+    mid-recompute at cfg2, then resume at cfg1 — the stale cfg1
+    manifest must be gone at the crash point and the cfg1 resume must
+    trust NOTHING from the half-done cfg2 run (its sidecars carry the
+    cfg2 fingerprint), i.e. every row recomputes."""
+    CheckpointManager(str(tmp_path)).run_partitioned(
+        "stage", {"cfg": 1}, _input(), _mk_fn(1, None), id_col="id",
+        num_partitions=P)
+    with pytest.raises(Exception, match="injected failure"):
+        CheckpointManager(str(tmp_path)).run_partitioned(
+            "stage", {"cfg": 2}, _input(), _mk_fn(2, None), id_col="id",
+            num_partitions=P, _inject_fail_partitions={5})
+    assert not os.path.exists(tmp_path / "stage" / "manifest.json")
+    ds, _ = CheckpointManager(str(tmp_path)).run_partitioned(
+        "stage", {"cfg": 1}, _input(), _mk_fn(3, None), id_col="id",
+        num_partitions=P)
+    got = ds.to_pandas()
+    assert len(got) == 400
+    assert (got["out"] == got["val"] + 1).all()
+    assert (got["run"] == 3).all()
+
+
+def test_zero_row_stage_preserves_schema(tmp_path):
+    """A stage that legitimately yields zero rows must round-trip its
+    SCHEMA through the checkpoint: downstream consumers select the
+    stage's columns and crash on a column-less empty table
+    (code-review r5). The schema is persisted in the manifest. The
+    stage uses pyarrow batches like every repo pipeline (the review's
+    scenario was the arrow-based edges stage) — empty PANDAS-origin
+    blocks lose their schema inside Ray itself (UDF and format
+    conversion are both skipped for empty blocks), which no
+    checkpoint layer can recover."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    df = pd.DataFrame({"left_id": ["a"], "score": [1.0]})
+
+    def empty():
+        def f(t):
+            return t.filter(pc.less(t.column("score"), 0.0))
+
+        return rd.from_arrow(pa.Table.from_pandas(df)).map_batches(
+            f, batch_format="pyarrow")
+
+    mgr = CheckpointManager(str(tmp_path))
+    out, _ = mgr.run("s", {"cfg": 1}, empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"left_id", "score"}
+    # resumed (skipped) load reconstructs the same schema
+    out2, _ = CheckpointManager(str(tmp_path)).run(
+        "s", {"cfg": 1}, empty)
+    assert set(out2.schema().names) == {"left_id", "score"}
+    assert out2.select_columns(["left_id"]).count() == 0
+
+
+def test_partitioned_zero_output_schema(tmp_path):
+    def drop_all(ds):
+        def f(t):
+            return t[t["val"] < 0]
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    out, _ = CheckpointManager(str(tmp_path)).run_partitioned(
+        "s", {"cfg": 1}, _input(), drop_all, id_col="id",
+        num_partitions=P)
+    assert out.count() == 0
+    assert "id" in set(out.schema().names or [])

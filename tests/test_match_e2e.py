@@ -265,3 +265,19 @@ def test_run_linkage_sorted_input_matches_crawl_order(fixture_data):
         return set(zip(e["left_id"], e["right_id"], e["score"]))
 
     assert edge_set(pages) == edge_set(pages.sort_by("text"))
+
+
+def test_match_empty_side_no_crash():
+    """An empty side (e.g. a split that matched no urls) has
+    Dataset.schema() == None; _prepare_side must treat that as no-geo
+    instead of dying on None.names (code-review r5), and the match
+    must return zero edges, not raise."""
+    left = rd.from_items([])
+    right = rd.from_items([{"url": "r1",
+                            "addr_norm": "mimoza sk no 12 kadikoy"}])
+    cfg = MatchConfig(threshold=50.0, block_by="prefix4",
+                      left_id="url", right_id="url")
+    edges = match_datasets(left, right, cfg,
+                           left_text_col="addr_norm",
+                           right_text_col="addr_norm")
+    assert edges.count() == 0
