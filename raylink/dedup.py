@@ -43,13 +43,6 @@ def _md5_64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
-def _fnv64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def char_shingles(text: str, k: int = 3) -> set[str]:
     t = " ".join((text or "").lower().split())
     if len(t) < k:
@@ -238,11 +231,23 @@ def dedup_exact_text(ds, text_col: str, id_col: str,
             return (bucket.drop_columns(
                 [c for c in ("_text_sha", "_tb")
                  if c in bucket.column_names]))
-        df = bucket.to_pandas()
-        df = df.sort_values([id_col]).drop_duplicates(
-            "_text_sha", keep="first")
-        return pa.Table.from_pandas(
-            df.drop(columns=["_text_sha", "_tb"]), preserve_index=False)
+        # pandas sees ONLY (row index, id, sha); the winning rows are
+        # reassembled with Arrow take so a genuinely-null int64 payload
+        # column can't float64-promote (lossy past 2^53) and empty
+        # buckets can't emit a different schema (code-review r5)
+        import numpy as np
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "_i": np.arange(bucket.num_rows, dtype=np.int64),
+            "_id": np.asarray(bucket.column(id_col)),
+            "_sha": np.asarray(bucket.column("_text_sha")),
+        })
+        keep = (df.sort_values("_id").drop_duplicates("_sha", keep="first")
+                ["_i"].to_numpy())
+        keep.sort()
+        return bucket.take(pa.array(keep)).drop_columns(
+            ["_text_sha", "_tb"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
@@ -261,7 +266,6 @@ def _pairs_via_payload_join(cands, ds, id_col: str, payload_col: str,
                             pair_fn, out_col: str,
                             out_type: pa.DataType = None,
                             num_partitions: int | None = None,
-                            num_group_buckets: int = 512,
                             payload_to_binary: bool = False,
                             max_broadcast_pairs: int = 2_000_000,
                             max_broadcast_bytes: int = 1 << 30):
@@ -605,8 +609,7 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str,
 
     return _pairs_via_payload_join(
         cands, ds, id_col, text_col, verify, "jaccard",
-        num_partitions=join_partitions,
-        num_group_buckets=num_group_buckets)
+        num_partitions=join_partitions)
 
 
 def simhash_pairs(ds, text_col: str, id_col: str,
@@ -731,32 +734,42 @@ def embedding_near_dup_pairs(ds, vec_col: str, id_col: str,
     planes = rng.randn(num_tables, bits, d)
 
     def to_tables(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        n = batch.num_rows
+        ids = batch.column(id_col).cast(pa.string())
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        n = len(ids)
         # (T, n) bucket per table: sign bits packed little-endian
         powers = 1 << np.arange(bits)
         allb = np.empty((num_tables, n), dtype=np.int64)
         for t in range(num_tables):
             signs = (vecs @ planes[t].T) > 0
             allb[t] = signs @ powers
-        ot, ob, oi, oall, ocb = [], [], [], [], []
-        for r in range(n):
-            blist = [int(allb[t, r]) for t in range(num_tables)]
-            sid = str(ids[r])
-            for t in range(num_tables):
-                ot.append(t)
-                ob.append(blist[t])
-                oi.append(sid)
-                oall.append(blist)
-                ocb.append(_fnv64(f"{t}|{blist[t]}") % num_group_buckets)
+        # vectorized table-major explode (code-review r5: this ran an
+        # n x T Python loop with a per-cell f-string FNV — the defect
+        # class VERDICT r2 #1 fixed everywhere else). The shuffle
+        # bucket only needs identical (table, bucket) rows co-located,
+        # so any deterministic mix works: golden-ratio multiply of the
+        # table id xor the bucket, finished with fmix64's xor-shifts
+        # (candidate-pair OUTPUT is unchanged by construction — the
+        # first-agreeing-table ownership reads all_buckets, not _cb).
+        ot = np.repeat(np.arange(num_tables, dtype=np.int32), n)
+        ob = allb.reshape(-1)
+        z = ((ot.astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15))
+             ^ ob.astype(np.uint64))
+        z ^= z >> np.uint64(33)
+        z *= np.uint64(0xFF51AFD7ED558CCD)
+        z ^= z >> np.uint64(33)
+        ocb = (z % np.uint64(num_group_buckets)).astype(np.int32)
+        per_doc = allb.T.tolist()             # one list per doc
+        idx = np.tile(np.arange(n, dtype=np.int64), num_tables)
         return pa.table(
             {
-                "table": pa.array(ot, pa.int32()),
-                "bucket": pa.array(ob, pa.int64()),
-                "doc_id": pa.array(oi, pa.string()),
-                "all_buckets": pa.array(oall, pa.list_(pa.int64())),
-                "_cb": pa.array(ocb, pa.int32()),
+                "table": pa.array(ot),
+                "bucket": pa.array(ob),
+                "doc_id": ids.take(pa.array(idx)),
+                "all_buckets": pa.array(per_doc * num_tables,
+                                        pa.list_(pa.int64())),
+                "_cb": pa.array(ocb),
             }
         )
 
@@ -824,7 +837,6 @@ def embedding_near_dup_pairs(ds, vec_col: str, id_col: str,
     return _pairs_via_payload_join(
         cands, ds, id_col, vec_col, verify, "cosine",
         num_partitions=join_partitions,
-        num_group_buckets=num_group_buckets,
         payload_to_binary=True)
 
 

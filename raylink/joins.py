@@ -121,7 +121,14 @@ def shuffle_anti_join(left, right, on: str, num_partitions: int | None = None):
     """Scale path for anti-join when the right key set is NOT small:
     distinct right keys get a marker column, left-outer hash join, keep
     marker-null rows. All-shuffle; prefer broadcast_anti_join when the
-    key set fits in memory."""
+    key set fits in memory.
+
+    NULL semantics match broadcast_anti_join (the reference's Python
+    ``v in key_set``): a null key MATCHES a null key, so null-keyed
+    left rows are dropped iff the right side contains a null key. A
+    plain left-outer hash join never matches nulls, so without the
+    explicit null handling below the two paths silently diverged on
+    null-keyed rows (code-review r5)."""
     marker = "_aj_marker"
     # distinct right keys as a Dataset (Dataset.unique returns a Python
     # list): per-batch arrow distinct pre-aggregation, then ONE
@@ -145,13 +152,26 @@ def shuffle_anti_join(left, right, on: str, num_partitions: int | None = None):
             marker, pa.array([1] * keep.num_rows, pa.int8())
         )
 
-    rk = rk.map_batches(_mark, batch_format="pyarrow")
+    # materialized: consumed twice (null-key probe + the join); rk is
+    # one row per DISTINCT right key, the small shape by construction
+    rk = rk.map_batches(_mark, batch_format="pyarrow").materialize()
+
+    def _null_count(batch: pa.Table) -> pa.Table:
+        n = batch.filter(pc.is_null(batch.column(on))).num_rows
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    has_null = bool(rk.map_batches(
+        _null_count, batch_format="pyarrow").sum("n") or 0)
+
     joined = left.join(rk, join_type="left_outer",
                        num_partitions=join_partitions(num_partitions),
                        on=(on,))
 
     def _keep_unmatched(batch: pa.Table) -> pa.Table:
         mask = pc.is_null(batch.column(marker))
+        if has_null:
+            # a null right key matches null left keys: drop them too
+            mask = pc.and_(mask, pc.is_valid(batch.column(on)))
         return batch.filter(mask).drop_columns([marker])
 
     return joined.map_batches(_keep_unmatched, batch_format="pyarrow")
@@ -474,24 +494,33 @@ def band_join(left, right, on: str, delta, by: str | None = None,
     out_cols = [f.name for f in out_schema]
 
     def merge_bucket(g: pa.Table) -> pa.Table:
-        # Split sides BEFORE any pandas conversion: the null-padded
-        # union would turn int64-with-nulls into float64, which is
-        # lossy beyond 2^53 (epoch-us timestamps), breaking both the
-        # merge keys and the |diff| <= delta filter. Each side's own
-        # columns are null-free, so per-side to_pandas keeps int64.
+        # pandas sees ONLY the key/band/bin columns (null-free by
+        # drop_null_keys) plus positional indices; payload columns are
+        # reassembled with Arrow take. Converting whole sides promoted
+        # any GENUINELY-null int64 payload column (e.g. epoch-ns with
+        # missing rows) to float64, and the cast back to int64 silently
+        # corrupted values beyond 2^53 (code-review r5; same
+        # reassembly pattern as asof_join).
         if "_bside" not in g.column_names or g.num_rows == 0:
             return out_schema.empty_table()
         side = g.column("_bside")
-        lf = (g.filter(pc.equal(side, 0))
-              .select(lcols + ["_bin"]).to_pandas())
-        rf = (g.filter(pc.equal(side, 1))
-              .select(keycols + [ren[c] for c in rcols] + ["_bin"])
-              .to_pandas())
+        lt = g.filter(pc.equal(side, 0))
+        rt = g.filter(pc.equal(side, 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        lf = lt.select(keycols + [on, "_bin"]).to_pandas()
+        lf["_li"] = np.arange(len(lf), dtype=np.int64)
+        rf = rt.select(keycols + [ren[on], "_bin"]).to_pandas()
+        rf["_ri"] = np.arange(len(rf), dtype=np.int64)
         out = lf.merge(rf, on=keycols + ["_bin"], how="inner")
-        keep = (out[on] - out[ren[on]]).abs() <= delta
-        out = out[keep].drop(columns=["_bin"])
-        return pa.Table.from_pandas(
-            out[out_cols], preserve_index=False).cast(out_schema)
+        keep = ((out[on] - out[ren[on]]).abs() <= delta).to_numpy()
+        li = pa.array(out["_li"].to_numpy()[keep])
+        ri = pa.array(out["_ri"].to_numpy()[keep])
+        lsel = lt.select(lcols).take(li)
+        rsel = rt.select([ren[c] for c in rcols]).take(ri)
+        cols = [lsel.column(c) if c in lsel.column_names
+                else rsel.column(c) for c in out_cols]
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     return (
         tagged.groupby("_bb")

@@ -14,8 +14,6 @@ addresskit/match_baseline.py:22-36) with a generic vector engine.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 
@@ -44,25 +42,40 @@ def knn_bruteforce(ds, queries, vec_col: str, id_col: str, k: int = 5,
     """
     qm = _unit(_as_matrix(queries))
     qref = ray.put(qm)
-    excl = exclude_ids or set()
+    # ids always compare as STRINGS (results return str ids, so an
+    # exclude set built from prior results must match regardless of the
+    # id column's dtype; code-review r5)
+    excl = {str(x) for x in (exclude_ids or ())}
     excl_ref = ray.put(excl)
+    empty = pa.schema([("query", pa.int32()), ("id", pa.string()),
+                       ("cosine", pa.float64())])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            # IVF probe filters can empty a block; norm(axis=1) on a
+            # shape-(0,) array raises (code-review r5)
+            return empty.empty_table()
         q = ray.get(qref)
         ex = ray.get(excl_ref)
-        ids = batch.column(id_col).to_pylist()
+        ids = np.array([str(x) for x in
+                        batch.column(id_col).to_pylist()], dtype=object)
         vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
                               dtype=np.float64))
         sims = vecs @ q.T  # (n, nq)
         out_q, out_id, out_sim = [], [], []
         for qi in range(q.shape[0]):
             col = sims[:, qi]
-            order = np.argsort(-col, kind="stable")[: k + len(ex)]
+            # (-cosine, id) order INSIDE the partial too: a plain
+            # stable argsort truncated at the cutoff kept whichever
+            # tied row came first in the batch, so the result depended
+            # on block partitioning (code-review r5). lexsort's last
+            # key is primary: -col asc == cosine desc, then id asc.
+            order = np.lexsort((ids, -col))[: k + len(ex)]
             for idx in order:
                 if ids[idx] in ex:
                     continue
                 out_q.append(qi)
-                out_id.append(str(ids[idx]))
+                out_id.append(ids[idx])
                 out_sim.append(float(col[idx]))
         return pa.table(
             {
@@ -73,22 +86,32 @@ def knn_bruteforce(ds, queries, vec_col: str, id_col: str, k: int = 5,
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-    # global reduce: nq heaps over the (small) partial results
-    heaps: dict[int, list] = {}
+    # global reduce with BOUNDED per-query candidate lists: compact to
+    # the exact (-cosine, id) top-k whenever a list doubles, so driver
+    # memory is O(nq * k), not O(num_blocks * nq * k) (code-review r5)
+    bound = max(2 * (k + len(excl)), 64)
+
+    def _compact(cand: list) -> None:
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        del cand[k:]
+
+    cands: dict[int, list] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for qi, i, s in zip(
             b.column("query").to_pylist(),
             b.column("id").to_pylist(),
             b.column("cosine").to_pylist(),
         ):
-            heaps.setdefault(qi, []).append((s, i))
+            c = cands.setdefault(qi, [])
+            c.append((s, i))
+            if len(c) >= bound:
+                _compact(c)
     results = []
     nq = qm.shape[0]
     for qi in range(nq):
-        cand = heaps.get(qi, [])
-        best = heapq.nlargest(k, cand, key=lambda t: (t[0], t[1]))
-        best.sort(key=lambda t: (-t[0], t[1]))
-        results.append([(i, s) for s, i in best])
+        cand = cands.get(qi, [])
+        _compact(cand)
+        results.append([(i, s) for s, i in cand])
     return results
 
 
@@ -171,11 +194,19 @@ class IVFIndex:
     def search_partitioned(self, path: str, queries, vec_col: str,
                            id_col: str, k: int = 5):
         """Partition-pruned search: list the probed ``ivf_list=<n>``
-        directories and read_parquet only those."""
+        directories and read_parquet only those. LOCAL paths only —
+        the directory probe uses os.listdir, which would silently see
+        nothing on a remote URI and return empty results
+        (code-review r5); raise instead until a filesystem-aware
+        lister is wired in."""
         import os
 
         import ray.data as rd
 
+        if "://" in path:
+            raise ValueError(
+                "search_partitioned prunes partitions with os.listdir "
+                f"and supports local paths only, got {path!r}")
         qm = _unit(_as_matrix(queries))
         files: list[str] = []
         for l in sorted(self._probe_lists(qm)):

@@ -550,3 +550,116 @@ def test_band_join_matches_bruteforce():
     with pytest.raises(ValueError):
         band_join(rd.from_pandas(left), rd.from_pandas(right),
                   on="x", delta=0)
+
+
+def test_band_join_null_int64_payload_exact():
+    """A GENUINE null in a non-key int64 payload column must not
+    float64-promote the column during the bucket merge (lossy past
+    2^53): payload columns are reassembled with Arrow take, pandas
+    sees only the null-free key/band columns (code-review r5)."""
+    from raylink.joins import band_join
+
+    big = (1 << 60) + 1
+    left = pa.table({
+        "x": pa.array([10, 20, 30], pa.int64()),
+        "pay": pa.array([big, None, big + 2], pa.int64()),
+    })
+    right = pa.table({
+        "x": pa.array([12, 28], pa.int64()),
+        "rpay": pa.array([None, big + 5], pa.int64()),
+    })
+    out = band_join(rd.from_arrow(left), rd.from_arrow(right),
+                    on="x", delta=3, num_buckets=4)
+    # assert on ARROW output — pandas conversion of a nullable int64
+    # column float64-promotes in the TEST harness itself
+    got = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")).sort_by("x")
+    assert got.column("pay").type == pa.int64()
+    assert got.column("rpay_r").type == pa.int64()
+    # pairs: (10,12), (30,28)
+    assert got.column("x").to_pylist() == [10, 30]
+    assert got.column("pay").to_pylist() == [big, big + 2]
+    assert got.column("rpay_r").to_pylist() == [None, big + 5]
+
+
+def test_dedup_exact_null_int64_payload():
+    """dedup_exact_text must not round-trip payload columns through
+    pandas: a nullable int64 column keeps exact >2^53 values and a
+    consistent schema across buckets (code-review r5)."""
+    big = (1 << 60) + 7
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["same", "same", "other", "third"]),
+        "ts": pa.array([big, None, big + 1, None], pa.int64()),
+    }))
+    out = dedup_exact_text(docs, "text", "doc_id")
+    got = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    assert got.column("ts").type == pa.int64()
+    assert got.column("doc_id").to_pylist() == [0, 2, 3]
+    assert got.column("ts").to_pylist() == [big, big + 1, None]
+
+
+def test_knn_tie_and_exclude_determinism():
+    """Cosine ties resolve by (-cosine, id) INDEPENDENT of block
+    partitioning, and exclude_ids matches regardless of the id
+    column's dtype (code-review r5)."""
+    v = [1.0, 0.0]
+    rows = [{"vid": i, "embedding": v} for i in (3, 1, 2)]
+    for nparts in (1, 3):
+        ds = rd.from_items(rows).repartition(nparts)
+        res = knn_bruteforce(ds, [v], "embedding", "vid", k=1)[0]
+        assert res[0][0] == "1"        # smallest id wins the tie
+    ds = rd.from_items(rows)
+    res = knn_bruteforce(ds, [v], "embedding", "vid", k=1,
+                         exclude_ids={"1", 2})[0]
+    assert res[0][0] == "3"            # both str and int excludes hit
+
+
+def test_knn_empty_filtered_blocks():
+    """Blocks emptied by an upstream filter (the IVF probe path) must
+    not crash the partial top-k (code-review r5)."""
+    rows = [{"vid": i, "embedding": [float(i), 1.0]} for i in range(8)]
+    ds = rd.from_items(rows).repartition(4)
+
+    def drop_all_but_one(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t.column("vid"), 5))
+
+    filtered = ds.map_batches(drop_all_but_one, batch_format="pyarrow")
+    res = knn_bruteforce(filtered, [[5.0, 1.0]], "embedding", "vid",
+                         k=2)[0]
+    assert res[0][0] == "5"
+
+
+def test_search_partitioned_rejects_remote_uri():
+    idx = IVFIndex(n_lists=2, n_probe=1).fit(np.eye(4))
+    with pytest.raises(ValueError, match="local paths only"):
+        idx.search_partitioned("s3://bucket/ivf", [np.eye(4)[0]],
+                               "embedding", "vid")
+
+
+def test_anti_join_null_key_parity():
+    """broadcast_anti_join and shuffle_anti_join must agree on
+    null-keyed rows in BOTH right-null regimes (the shuffle path's
+    left-outer join never matches nulls on its own; code-review r5)."""
+    from raylink.joins import broadcast_anti_join, shuffle_anti_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", None, "c"]),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    right_with_null = pa.table({"k": pa.array(["a", None])})
+    right_no_null = pa.table({"k": pa.array(["a", "x"])})
+    for right in (right_with_null, right_no_null):
+        rds = rd.from_arrow(right)
+        b = sorted(broadcast_anti_join(left, rds, "k")
+                   .to_pandas()["v"].tolist())
+        s = sorted(shuffle_anti_join(left, rds, "k")
+                   .to_pandas()["v"].tolist())
+        assert b == s, (right.column("k").to_pylist(), b, s)
+    # semantics themselves: null matches null (reference `in` set)
+    b = sorted(broadcast_anti_join(
+        left, rd.from_arrow(right_with_null), "k")
+        .to_pandas()["v"].tolist())
+    assert b == [2, 4]
