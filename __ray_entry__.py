@@ -2835,8 +2835,8 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS words,
                 CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
                   AS punct,
-                CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS DOUBLE)
-                  AS stops,
+                CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}'))
+                  AS DOUBLE) AS stops,
                 {_lang_counts_sql()}
               FROM documents
             )

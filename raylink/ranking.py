@@ -54,6 +54,27 @@ def _with_group_bucket(ds, group_col: str, num_buckets: int):
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
+def _contiguous_group_rank(col) -> np.ndarray:
+    """Per-group cumcount (0-based) over a column whose equal values
+    are already CONTIGUOUS (i.e. the table was sorted by it). Group
+    identity is taken from Arrow dictionary codes — never a pandas
+    round-trip, which float64-promotes a nullable int64 key and
+    collides distinct values above 2^53 (code-review r5, reproduced).
+    Nulls form one group of their own (code -1)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    idx = arr.dictionary_encode().indices
+    codes = np.asarray(idx.fill_null(pa.scalar(-1, idx.type)))
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+
+
 def sample_hash(ids: np.ndarray, seed: int) -> np.ndarray:
     """The stratified-sample rank key: ``((id + seed) * PHI64) mod
     2^64`` on wrapping uint64 arithmetic. Python-side twin of
@@ -108,30 +129,35 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
     by ``order_col`` (``descending=True`` -> largest first). Ties on
     ``order_col`` break by ``tiebreak_col`` ascending when given
     (pass one for a deterministic result set); remaining ties keep
-    input order (stable mergesort). Output columns == input columns;
+    input order (an explicit row-index sort key — the total-order
+    equivalent of a stable sort). Output columns == input columns;
     row order within the result is unspecified (it's a set)."""
     schema = _pa_schema(ds)
-    cols = list(schema.names)
-    sort_cols = [group_col, order_col] + (
-        [tiebreak_col] if tiebreak_col else [])
-    ascending = [True, not descending] + (
-        [True] if tiebreak_col else [])
+    keys = [(group_col, "ascending"),
+            (order_col, "descending" if descending else "ascending")]
+    if tiebreak_col:
+        keys.append((tiebreak_col, "ascending"))
+    keys.append(("_i", "ascending"))   # stable: input order on full ties
 
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if group_col not in g.columns or len(g) == 0:
-            return schema.empty_table().to_pandas()
-        g = g.sort_values(sort_cols, ascending=ascending,
-                          kind="mergesort")
-        # dropna=False: a null group key is a group like any other —
-        # SQL's row_number() keeps a NULL partition, and silently
-        # dropping those rows would diverge from the oracle
-        rank = g.groupby(group_col, sort=False, dropna=False).cumcount()
-        return g[rank.to_numpy() < k][cols]
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        # resolved entirely on the ARROW side: the previous pandas
+        # round-trip float64-promoted a nullable int64 group column,
+        # colliding distinct keys above 2^53 into one group and
+        # corrupting the emitted key values (code-review r5, reproduced)
+        if group_col not in g.column_names or g.num_rows == 0:
+            return schema.empty_table()
+        n = g.num_rows
+        t = g.append_column(
+            "_i", pa.array(np.arange(n, dtype=np.int64))).sort_by(keys)
+        rank = _contiguous_group_rank(t.column(group_col))
+        sel = np.asarray(t.column("_i"))[rank < k]
+        sel.sort()
+        return g.take(pa.array(sel)).select(schema.names)
 
     return (
         _with_group_bucket(ds, group_col, num_buckets)
         .groupby("_rb")
-        .map_groups(rank_bucket, batch_format="pandas")
+        .map_groups(rank_bucket, batch_format="pyarrow")
     )
 
 
@@ -154,7 +180,6 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
     (min(k, group size)) — the balanced-classes contract a training
     subset needs."""
     schema = _pa_schema(ds)
-    cols = list(schema.names)
     id_field = (schema.field(id_col)
                 if id_col in schema.names else None)
     use_str = id_field is not None and (
@@ -172,27 +197,38 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int,
             f"string-typed for a SQL-reproducible hash rank, got "
             f"{id_field.type}")
 
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if group_col not in g.columns or len(g) == 0:
-            return schema.empty_table().to_pandas()
-        ids = g[id_col]
-        if ids.isna().any():
+    keys = [(group_col, "ascending"), ("_sh", "ascending"),
+            (id_col, "ascending"), ("_i", "ascending")]
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-side resolve — same rationale as top_k_per_group
+        # (code-review r5): a pandas round-trip collides nullable
+        # int64 group keys above 2^53
+        if group_col not in g.column_names or g.num_rows == 0:
+            return schema.empty_table()
+        idcol = g.column(id_col)
+        if idcol.null_count:
             # NaN -> uint64 is platform-dependent garbage; a null id
             # would get an arbitrary, irreproducible rank
             raise ValueError(
                 f"stratified_sample: {id_col!r} contains nulls — the "
                 "hash rank requires non-null integer ids")
-        h = (sample_hash_str(ids.to_numpy(), seed) if use_str
-             else sample_hash(ids.to_numpy(), seed))
-        g = g.assign(_sh=h).sort_values(
-            [group_col, "_sh", id_col], kind="mergesort")
-        rank = g.groupby(group_col, sort=False, dropna=False).cumcount()
-        return g[rank.to_numpy() < k][cols]
+        n = g.num_rows
+        ids_np = np.asarray(idcol.combine_chunks())
+        h = (sample_hash_str(ids_np, seed) if use_str
+             else sample_hash(ids_np, seed))
+        t = (g.append_column("_sh", pa.array(h))
+             .append_column("_i", pa.array(np.arange(n, dtype=np.int64)))
+             .sort_by(keys))
+        rank = _contiguous_group_rank(t.column(group_col))
+        sel = np.asarray(t.column("_i"))[rank < k]
+        sel.sort()
+        return g.take(pa.array(sel)).select(schema.names)
 
     return (
         _with_group_bucket(ds, group_col, num_buckets)
         .groupby("_rb")
-        .map_groups(rank_bucket, batch_format="pandas")
+        .map_groups(rank_bucket, batch_format="pyarrow")
     )
 
 
@@ -269,6 +305,14 @@ def bernoulli_sample(ds, id_col: str, rate, seed: int = 42):
                     f"bernoulli_sample: rate column {rate_col!r} has "
                     f"{rc.null_count} null(s); rates must be non-null")
             r = np.asarray(rc, dtype=np.float64)
+            if np.isnan(r).any():
+                # a non-null NaN (e.g. an upstream 0/0 weight) slips
+                # past the null guard yet fails `u < r` identically —
+                # the exact silent-sample-out the guard exists to
+                # prevent (code-review r5)
+                raise ValueError(
+                    f"bernoulli_sample: rate column {rate_col!r} "
+                    "contains NaN; rates must be finite")
         else:
             r = float(rate)
         return t.filter(pa.array(u < r))
@@ -445,6 +489,14 @@ def pack_sequences(ds, id_col: str, tokens_col: str, budget: int,
             # NaN->int error deep in the loop (code-review r4)
             raise ValueError(
                 f"pack_sequences: {tokens_col!r} contains nulls")
+        if g.column(id_col).null_count:
+            # same convention: a null id would crash far away in the
+            # final pa.array(..., id_type) conversion AND its NaN
+            # float64-promotes the partition's whole id column,
+            # rounding co-partitioned int ids above 2^53
+            # (code-review r5)
+            raise ValueError(
+                f"pack_sequences: {id_col!r} contains nulls")
         df = g.to_pandas()
         out_bin = np.empty(len(df), np.int32)
         out_load = {}
@@ -465,7 +517,10 @@ def pack_sequences(ds, id_col: str, tokens_col: str, budget: int,
             (out_load[int(p)][b] for p, b in zip(pps, bins)),
             np.int64, len(df))
         return pa.table({
-            id_col: pa.array(df[id_col].tolist(), id_type),
+            # the Arrow column directly — df rows are in g's order, and
+            # a pandas tolist round-trip is both slower and the
+            # promotion hazard class this module guards against
+            id_col: g[id_col],
             "pack_partition": pa.array(pps.astype(np.int32)),
             "bin": pa.array(bins),
             "bin_tokens": pa.array(bin_tokens),

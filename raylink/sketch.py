@@ -198,23 +198,40 @@ def hll_count_distinct_by(ds, col: str, by: str, p: int = 12,
         agg = sp.group_by([by, "_hidx"]).aggregate([("_hrank", "max")])
         return agg.rename_columns([by, "_hidx", "_hrank"])
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    by_field = _pa_schema(ds).field(by)
+    out_schema = pa.schema([by_field,
+                            ("approx_distinct", pa.float64())])
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # resolved on the ARROW side: the previous pandas round-trip
+        # float64-promoted a nullable int64 GROUP column, colliding
+        # distinct keys above 2^53 into one merged estimate and
+        # corrupting the emitted keys — the exact promotion the
+        # docstring warns about for VALUES (code-review r5, reproduced)
         m = 1 << p
-        sp = (df.groupby([by, "_hidx"], sort=False, dropna=False)
-              ["_hrank"].max().reset_index())
-        sp["_w"] = np.exp2(-sp["_hrank"].to_numpy().astype(np.float64))
-        agg = (sp.groupby(by, sort=False, dropna=False)["_w"]
-               .agg(nnz="count", pow_sum="sum").reset_index())
-        agg["approx_distinct"] = _estimate_sparse(
-            agg["nnz"].to_numpy(), agg["pow_sum"].to_numpy(), m)
-        return agg[[by, "approx_distinct"]]
+        if "_hidx" not in g.column_names or g.num_rows == 0:
+            return out_schema.empty_table()
+        sp = (g.select([by, "_hidx", "_hrank"])
+              .group_by([by, "_hidx"])
+              .aggregate([("_hrank", "max")]))
+        w = np.exp2(-np.asarray(sp.column("_hrank_max"),
+                                dtype=np.float64))
+        agg = (pa.table({by: sp.column(by), "_w": pa.array(w)})
+               .group_by(by)
+               .aggregate([("_w", "sum"), ("_w", "count")]))
+        est = _estimate_sparse(
+            np.asarray(agg.column("_w_count"), dtype=np.float64),
+            np.asarray(agg.column("_w_sum"), dtype=np.float64), m)
+        return pa.table({by: agg.column(by),
+                         "approx_distinct": pa.array(est, pa.float64())},
+                        schema=out_schema)
 
     from .ranking import _with_group_bucket
 
     triples = ds.map_batches(partial, batch_format="pyarrow")
     return (_with_group_bucket(triples, by, num_buckets)
             .groupby("_rb")
-            .map_groups(merge_bucket, batch_format="pandas"))
+            .map_groups(merge_bucket, batch_format="pyarrow"))
 
 
 # ----------------------------------------------------------------------
@@ -242,20 +259,27 @@ def bloom_params(expected_distinct: int, fpp: float) -> tuple[int, int]:
     return m, min(k, 16)
 
 
-def _bloom_hashes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Two 64-bit hash streams for double hashing (position i =
-    h1 + i*h2 mod m). h2 is h1 through a murmur3 fmix64 step — NOT a
-    second pd.util.hash_array call with a different hash_key, because
-    hash_key only feeds the string/object path and numeric keys would
-    get h2 == h1, collapsing the k probes onto one stride. h2 is
-    forced odd so the stride never collapses to a fixed point."""
-    h1 = np.asarray(pd.util.hash_array(vals, categorize=False),
-                    dtype=np.uint64)
+def _odd_stride_h2(h1: np.ndarray) -> np.ndarray:
+    """Second hash stream for double hashing: h1 through a murmur3
+    fmix64 step — NOT a second pd.util.hash_array call with a
+    different hash_key, because hash_key only feeds the string/object
+    path and numeric keys would get h2 == h1, collapsing the k probes
+    onto one stride. Forced odd so the stride never collapses to a
+    fixed point. Shared by the Bloom and Count-Min sketches
+    (code-review r5: the derivation lived in both)."""
     with np.errstate(over="ignore"):
         h2 = h1 ^ (h1 >> np.uint64(33))
         h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
         h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)
-    return h1, h2
+    return h2
+
+
+def _bloom_hashes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two 64-bit hash streams for double hashing (position i =
+    h1 + i*h2 mod m)."""
+    h1 = np.asarray(pd.util.hash_array(vals, categorize=False),
+                    dtype=np.uint64)
+    return h1, _odd_stride_h2(h1)
 
 
 def bloom_add(bitmap: np.ndarray, vals: np.ndarray, k: int) -> None:
@@ -590,10 +614,8 @@ def _cm_positions(vals, depth: int, width: int) -> np.ndarray:
             arr = arr.astype(object)
         h1 = np.asarray(pd.util.hash_array(
             arr, categorize=False), dtype=np.uint64)
+    h2 = _odd_stride_h2(h1)
     with np.errstate(over="ignore"):
-        h2 = h1 ^ (h1 >> np.uint64(33))
-        h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
-        h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)
         js = np.arange(depth, dtype=np.uint64)[:, None]
         return ((h1[None, :] + js * h2[None, :])
                 % np.uint64(width)).astype(np.int64)

@@ -25,8 +25,15 @@ LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
 STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space marks
-# (the GPT-2-style pre-tokenization regex family, simplified to ASCII)
-BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+# (the GPT-2-style pre-tokenization regex family, simplified to ASCII).
+# Kept as the STRING Arrow's RE2 consumes — a compiled Python copy
+# drifted from the operator's literal (code-review r5).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+# ASCII whitespace split matching RE2 \s (= [\t\n\v\f\r ]) — what the
+# DuckDB twins' string_split_regex('\s+') does; Python's default \s is
+# Unicode-aware and diverges on U+00A0/U+2028 in web text
+_WS_ASCII_RE = re.compile(r"\s+", re.ASCII)
 
 
 def detect_lang(text: str) -> str:
@@ -46,6 +53,11 @@ def add_lang_id(ds, text_col: str, out_col: str = "lang_pred",
                 batch_size: int = 8192):
     def f(batch: pa.Table) -> pa.Table:
         preds = [detect_lang(t) for t in batch.column(text_col).to_pylist()]
+        if out_col in batch.column_names:
+            # overwrite-on-rerun, like every sibling add_* operator —
+            # appending blindly created a duplicate column
+            # (code-review r5)
+            batch = batch.drop_columns([out_col])
         return batch.append_column(out_col, pa.array(preds, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
@@ -59,7 +71,7 @@ def add_token_counts(ds, text_col: str, batch_size: int = 8192):
         s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
         ws = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int32())
         bpe = pc.cast(
-            pc.count_substring_regex(s, r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"),
+            pc.count_substring_regex(s, BPE_PATTERN),
             pa.int32())
         for name, arr in (("ws_tokens", ws), ("bpe_tokens", bpe)):
             if name in batch.column_names:
@@ -84,7 +96,13 @@ def add_quality_score(ds, text_col: str, out_col: str = "quality",
         punct = pc.cast(pc.count_substring_regex(s, r"[^\w\s]"),
                         pa.float64())
         stop_pat = r"\b(?:" + "|".join(STOPWORDS_EN) + r")\b"
-        stops = pc.cast(pc.count_substring_regex(s, stop_pat), pa.float64())
+        # counted over the LOWERCASED text (twin: lower(text)) — the
+        # lowercase stopword list never matched sentence-initial 'The'
+        # etc., silently understating stop_ratio on normal prose
+        # (code-review r5; every other tokenizing op lowercases first)
+        stops = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(s), stop_pat),
+            pa.float64())
         len_ok = pc.cast(
             pc.and_(pc.greater_equal(n, 20.0), pc.less_equal(n, 2000.0)),
             pa.float64())
@@ -175,7 +193,12 @@ def document_frequencies(ds, text_col: str, min_df: int = 1):
     def partial(batch: pa.Table) -> pa.Table:
         s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
         s = pc.utf8_lower(s)
-        split = pc.utf8_split_whitespace(s)
+        # RE2 \s+ (ASCII), NOT utf8_split_whitespace (Unicode classes):
+        # the DuckDB twin splits with string_split_regex('\s+'), and a
+        # U+00A0/U+2028 in web text would silently diverge the df table
+        # — the exact r4 bug class _explode_tokens already fixed
+        # (code-review r5)
+        split = pc.split_pattern_regex(s, r"\s+")
         toks = pc.list_flatten(split)
         parent = pc.list_parent_indices(split)
         mask = pc.greater(pc.utf8_length(toks), 0)
@@ -243,7 +266,12 @@ class TopKeywords:
         doc_idx: list[int] = []
         toks: list[str] = []
         for i, t in enumerate(texts):
-            for w in (t or "").lower().split():
+            # ASCII \s+ split to match the df table / SQL twin (RE2);
+            # str.split() is Unicode-aware and diverges on U+00A0 etc.
+            # (code-review r5)
+            for w in _WS_ASCII_RE.split((t or "").lower()):
+                if not w:
+                    continue
                 doc_idx.append(i)
                 toks.append(w)
         id_type = batch.schema.field(self.id_col).type
@@ -952,16 +980,13 @@ def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
     partials = (rows.groupby("_gb")
                 .map_groups(per_bucket, batch_format="pyarrow"))
 
-    # fold partials by id with the repo's hash-bucket co-shuffle, NOT
-    # Dataset.groupby(id).aggregate — the native string-key aggregate
-    # measured 110 s on 11.7M partial rows where this path takes
-    # seconds (same pitfall class as the per-tiny-group map_groups)
-    from .blocks import stable_hash_array
-
-    def add_idb(t: pa.Table) -> pa.Table:
-        ib = (stable_hash_array(t.column(id_col))
-              % nb).astype(np.int32)
-        return t.append_column("_ib", pa.array(ib))
+    # fold partials by id with the repo's hash-bucket co-shuffle
+    # (ranking._with_group_bucket — code-review r5 deduplicated a
+    # hand-rolled copy), NOT Dataset.groupby(id).aggregate — the
+    # native string-key aggregate measured 110 s on 11.7M partial rows
+    # where this path takes seconds (same pitfall class as the
+    # per-tiny-group map_groups)
+    from .ranking import _with_group_bucket
 
     def fold(g: pa.Table) -> pa.Table:
         id_type = (g.schema.field(id_col).type
@@ -985,8 +1010,8 @@ def corpus_ngram_repetition(ds, text_col: str, id_col: str, n: int = 8,
             "rep_frac_e6": pa.array(frac),
         }, schema=schema)
 
-    return (partials.map_batches(add_idb, batch_format="pyarrow")
-            .groupby("_ib")
+    return (_with_group_bucket(partials, id_col, int(nb))
+            .groupby("_rb")
             .map_groups(fold, batch_format="pyarrow"))
 
 

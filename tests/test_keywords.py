@@ -84,3 +84,23 @@ def test_top_keywords_min_df_and_partitions():
     con = duckdb.connect()
     exp = _oracle([r["text"] for r in rows], 3, 2)
     pd.testing.assert_frame_equal(a, exp, check_dtype=False)
+
+
+def test_top_keywords_nbsp_matches_duckdb():
+    """U+00A0/U+2028 web-text whitespace: the operator must tokenize
+    exactly like the twin's RE2 string_split_regex('\\s+') — Unicode
+    splits (utf8_split_whitespace / str.split) silently produced a
+    different df table on NBSP-bearing docs (code-review r5)."""
+    docs = ["apple banana apple",
+            "banana cherry banana",
+            "apple banana cherry",
+            "delta delta delta"]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    got = (top_keywords(ds, "text", "doc_id", k=3, min_df=1,
+                        concurrency=2)
+           .to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    want = _oracle(docs, 3, 1)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64"}), want.astype({"doc_id": "int64"}))

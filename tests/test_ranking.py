@@ -183,3 +183,27 @@ def test_stratified_sample_string_ids_matches_duckdb():
     pd.testing.assert_frame_equal(_sorted(got[want.columns.tolist()]),
                                   _sorted(want))
     assert got.groupby("lang").size().eq(15).all()
+
+
+def test_top_k_per_group_bigint_and_null_groups():
+    """Nullable int64 group keys above 2^53 must stay DISTINCT groups:
+    the old pandas bucket resolve float64-promoted the key column,
+    collided the groups, and corrupted the emitted keys
+    (code-review r5, reproduced)."""
+    import pyarrow as pa
+
+    from raylink.ranking import top_k_per_group
+
+    g1, g2 = (1 << 60) + 1, (1 << 60) + 3
+    t = pa.table({
+        "g": pa.array([g1, g1, g2, g2, None, None], pa.int64()),
+        "v": pa.array([5.0, 7.0, 1.0, 9.0, 2.0, 3.0]),
+        "id": pa.array(list("abcdef")),
+    })
+    out = top_k_per_group(rd.from_arrow(t), "g", "v", k=1,
+                          tiebreak_col="id")
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert got.column("g").type == pa.int64()
+    rows = sorted(zip(got.column("id").to_pylist(),
+                      got.column("g").to_pylist()))
+    assert rows == [("b", g1), ("d", g2), ("f", None)]

@@ -341,3 +341,30 @@ def test_count_min_accepts_plain_string_lists():
     assert (cm_query(sk, ["a", "b"]) >= np.array([5, 2])).all()
     assert (cm_query(sk, np.array(["a", "b"]))
             >= np.array([5, 2])).all()
+
+
+def test_hll_by_bigint_group_keys_stay_distinct():
+    """Group keys above 2^53 (nullable int64) must not merge in the
+    bucket resolve: the old pandas round-trip float64-promoted the by
+    column and collided distinct keys (code-review r5, reproduced)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.sketch import hll_count_distinct_by
+
+    g1, g2 = (1 << 60) + 1, (1 << 60) + 3
+    rows = ([{"by": g1, "v": i} for i in range(50)]
+            + [{"by": g2, "v": i} for i in range(20)]
+            + [{"by": None, "v": i} for i in range(5)])
+    t = pa.table({
+        "by": pa.array([r["by"] for r in rows], pa.int64()),
+        "v": pa.array([r["v"] for r in rows], pa.int64()),
+    })
+    out = hll_count_distinct_by(rd.from_arrow(t), "v", "by", p=12)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert got.column("by").type == pa.int64()
+    est = dict(zip(got.column("by").to_pylist(),
+                   got.column("approx_distinct").to_pylist()))
+    assert set(est) == {g1, g2, None}
+    assert abs(est[g1] - 50) / 50 < 0.15
+    assert abs(est[g2] - 20) / 20 < 0.15
