@@ -222,6 +222,13 @@ def _sparse_sims(q_rows, q_cols, q_vals, csc, n_q: int,
     if total == 0:
         return sims_flat.reshape(n_q, n_train).astype(np.float32)
     cum = np.cumsum(lens)
+    # transform_coo emits rows in non-decreasing order, so each chunk
+    # spans a contiguous query-row range — bound the bincount temp to
+    # that range instead of the full (n_q x n_train) (which allocated
+    # a second full-size array per chunk, defeating the chunking's
+    # memory purpose; code-review r5). Fallback to full width if the
+    # sortedness precondition ever breaks.
+    rows_sorted = len(q_rows) == 0 or bool(np.all(np.diff(q_rows) >= 0))
     s = 0
     while s < len(q_cols):
         base = cum[s - 1] if s else 0
@@ -232,10 +239,18 @@ def _sparse_sims(q_rows, q_cols, q_vals, csc, n_q: int,
         if len(gather):
             rq = np.repeat(q_rows[s:e], lens[s:e])
             vq = np.repeat(q_vals[s:e], lens[s:e])
-            flat = rq * n_train + t_rows[gather]
-            sims_flat += np.bincount(
-                flat, weights=(vq * t_vals[gather]),
-                minlength=n_q * n_train)
+            if rows_sorted:
+                r0 = int(q_rows[s])
+                r1 = int(q_rows[e - 1])
+                flat = (rq - r0) * n_train + t_rows[gather]
+                sims_flat[r0 * n_train:(r1 + 1) * n_train] += \
+                    np.bincount(flat, weights=(vq * t_vals[gather]),
+                                minlength=(r1 - r0 + 1) * n_train)
+            else:
+                flat = rq * n_train + t_rows[gather]
+                sims_flat += np.bincount(
+                    flat, weights=(vq * t_vals[gather]),
+                    minlength=n_q * n_train)
         s = e
     return sims_flat.reshape(n_q, n_train).astype(np.float32)
 
@@ -246,8 +261,10 @@ class KnnPredict:
     semi-join-like lookup. Bundle loaded ONCE per actor in __init__;
     per-batch work is sparse (O(nnz) memory, never batch x dim)."""
 
-    def __init__(self, bundle_ref, text_col: str, side_col: str | None = None,
-                 k: int = 1):
+    def __init__(self, bundle_ref, text_col: str,
+                 side_col: str | None = None):
+        # (a dead ``k`` parameter was removed in r5: __call__ always
+        # did 1-NN argmax, so accepting k was a misleading no-op)
         bundle = ray.get(bundle_ref)
         self.vec: MultiChannelTfidf = bundle["vectorizer"]
         self.csc = bundle["csc"]
@@ -255,7 +272,6 @@ class KnnPredict:
         self.labels = bundle["labels"]
         self.text_col = text_col
         self.side_col = side_col
-        self.k = k
 
     def _columns(self, batch: pa.Table) -> list[list[str]]:
         cols = [batch.column(self.text_col).to_pylist()]
@@ -317,6 +333,11 @@ def collect_train_split(ds, max_rows: int = MAX_TRAIN_ROWS,
     ``take_all`` block order follows task completion order, so without
     a driver-side sort two runs return the same SET in different
     ORDER — and row order feeds the SGD fit."""
+    # materialize once: count() executes the upstream pipeline, and
+    # the over-cap sampling pass would otherwise re-run it from
+    # scratch — doubling e.g. the lang-ID inference feeding it
+    # (code-review r5)
+    ds = ds.materialize()
     n = ds.count()
     if n > max_rows:
         fraction = max_rows / n
@@ -375,7 +396,12 @@ def knn_label_dataset(ds, bundle_ref, text_col: str,
         fn_constructor_args=(bundle_ref, text_col, side_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # autoscale from 1 like lm.score_perplexity: a FIXED pool can
+        # reserve every CPU of a small session before the upstream
+        # read produces a block — the race-dependent deadlock fixed in
+        # lm.py r4 (code-review r5)
+        concurrency=(1, concurrency) if isinstance(concurrency, int)
+        else concurrency,
         num_cpus=1,
     )
 
@@ -418,13 +444,18 @@ class SoftmaxSGD:
     def predict(self, x: np.ndarray) -> np.ndarray:
         return np.argmax(x @ self.w + self.b, axis=1)
 
-    def predict_coo(self, rows, cols, vals, n: int) -> np.ndarray:
-        """Sparse inference: logits accumulated from the W rows of the
-        query's nonzero columns only."""
+    def logits_coo(self, rows, cols, vals, n: int) -> np.ndarray:
+        """Sparse logits: accumulated from the W rows of the query's
+        nonzero columns only (shared by predict_coo and cv_metrics —
+        code-review r5 deduplicated an inline copy)."""
         logits = np.tile(self.b, (n, 1)).astype(np.float32)
         if len(rows):
             np.add.at(logits, rows, vals[:, None] * self.w[cols])
-        return np.argmax(logits, axis=1)
+        return logits
+
+    def predict_coo(self, rows, cols, vals, n: int) -> np.ndarray:
+        """Sparse inference: argmax of :meth:`logits_coo`."""
+        return np.argmax(self.logits_coo(rows, cols, vals, n), axis=1)
 
 
 class ClassifierPredict:
@@ -479,6 +510,17 @@ def _fit_classifier_local(train_texts, train_labels, ngram_range,
         ngram_range, nbits, word_ngram_range, word_nbits,
         side_texts is not None)).fit(columns)
     rows, cols, vals = vec.transform_coo(columns)
+    dense_bytes = len(train_texts) * vec.dim * 4
+    if dense_bytes > (2 << 30):
+        # this local fit DENSIFIES rows x dim float32 — at the
+        # collect_train_split cap (200k rows) and nbits=16 that is
+        # ~52 GB, an OOM the row-count bound alone cannot see
+        # (code-review r5). Fail loudly with the two real options.
+        raise ValueError(
+            f"_fit_classifier_local: dense train matrix would be "
+            f"{dense_bytes / (1 << 30):.1f} GiB ({len(train_texts)} "
+            f"rows x dim {vec.dim}); lower max_rows/nbits or use "
+            f"fit_classifier_distributed (never densifies)")
     x = np.zeros((len(train_texts), vec.dim), dtype=np.float32)
     x[rows, cols] = vals
     classes = sorted(set(train_labels))
@@ -538,9 +580,7 @@ def cv_metrics(texts, labels, n_folds: int = 3, topk: int = 3,
             **sgd_kwargs)
         rows, cols, vals = vec.transform_coo(
             [[texts[i] for i in te_idx]])
-        logits = np.tile(model.b, (len(te_idx), 1)).astype(np.float32)
-        if len(rows):
-            np.add.at(logits, rows, vals[:, None] * model.w[cols])
+        logits = model.logits_coo(rows, cols, vals, len(te_idx))
         order = np.argsort(-logits, axis=1)
         ranked = [[classes[j] for j in row[:topk]] for row in order]
         y_pred = [r[0] for r in ranked]
@@ -589,7 +629,10 @@ def classify_dataset(ds, bundle_ref, text_col: str,
         fn_constructor_args=(bundle_ref, text_col, side_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # autoscale from 1 — same small-session deadlock rationale as
+        # knn_label_dataset above (code-review r5)
+        concurrency=(1, concurrency) if isinstance(concurrency, int)
+        else concurrency,
         num_cpus=1,
     )
 

@@ -123,7 +123,12 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 2) -> BigramLM:
                       "gram": pa.array(grams, pa.string())})
         agg = t.group_by(["kind", "gram"]).aggregate(
             [([], "count_all")])
-        return agg.rename_columns(["kind", "gram", "n"])
+        # rename BY NAME, not position: older pyarrow ordered
+        # aggregate columns before keys, and a positional rename would
+        # silently make 'kind' the count (code-review r5)
+        return pa.table({"kind": agg.column("kind"),
+                         "gram": agg.column("gram"),
+                         "n": agg.column("count_all")})
 
     counts = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["kind", "gram"])

@@ -79,6 +79,15 @@ def windowed(ds, key_col: str, order_col: str,
         raise ValueError(
             f"windowed: output column(s) {sorted(clash)} already exist "
             f"in the input — pick different out names")
+    out_names = (list(lag_cols) + list(lead_cols) + list(cum_aggs)
+                 + list(rank_aggs))
+    dup_outs = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dup_outs:
+        # a name reused across the four request dicts was silently
+        # overwritten by loop order (code-review r5)
+        raise ValueError(
+            f"windowed: output name(s) {dup_outs} requested more than "
+            f"once across lag/lead/cum/rank")
     sort_cols = [key_col, order_col] + (
         [tiebreak_col] if tiebreak_col else [])
 
@@ -109,10 +118,23 @@ def windowed(ds, key_col: str, order_col: str,
     def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if key_col not in g.columns or len(g) == 0:
             out = schema.empty_table().to_pandas()
-            for name in (set(lag_cols) | set(lead_cols)
-                         | set(cum_aggs) | set(rank_aggs)):
+            # SAME deterministic column order as the real branch below
+            # — a set union iterated in per-process hash order emitted
+            # blocks whose Arrow schemas had mismatched field orders
+            # (code-review r5)
+            for name in (list(lag_cols) + list(lead_cols)
+                         + list(cum_aggs) + list(rank_aggs)):
                 out[name] = pd.Series(dtype=_added_dtype(name))
             return out
+        if (any(k != "row_number" for k in rank_aggs.values())
+                and g[order_col].isna().any()):
+            # rank/dense_rank .astype('int64') crashed on NaN deep in
+            # the worker and percent_rank silently emitted NaN — make
+            # the unsupported case loud instead (code-review r5)
+            raise ValueError(
+                f"windowed: order column {order_col!r} contains nulls; "
+                "rank/dense_rank/percent_rank need non-null order "
+                "values (SQL ranks NULLs, this kernel does not)")
         g = g.sort_values(sort_cols, kind="mergesort")
         # dropna=False: a null key is a partition like any other
         grp = g.groupby(key_col, sort=False, dropna=False)

@@ -340,3 +340,18 @@ def test_labelset_hash_partition_invariant_and_sensitive():
     swapped[0]["pred_label"], swapped[1]["pred_label"] = (
         swapped[1]["pred_label"], swapped[0]["pred_label"])
     assert base != _labelset_hash_hex(rd.from_items(swapped))
+
+
+def test_fit_classifier_dense_guard():
+    """The local classifier fit densifies rows x dim float32; past
+    2 GiB it must refuse loudly and point at the distributed fit
+    instead of OOMing the driver (code-review r5)."""
+    import pytest
+
+    from raylink.learned import _fit_classifier_local
+
+    texts = ["a b c"] * 10_000
+    labels = ["x"] * 5_000 + ["y"] * 5_000
+    with pytest.raises(ValueError, match="fit_classifier_distributed"):
+        _fit_classifier_local(texts, labels, (3, 3), 16, (1, 1), 16,
+                              None)

@@ -129,3 +129,35 @@ def test_rank_kind_validation():
     ds = rd.from_items([{"k": 1, "ts": 1}])
     with pytest.raises(ValueError, match="unknown rank kind"):
         windowed(ds, "k", "ts", rank_aggs={"x": "ntile"})
+
+
+def test_windowed_duplicate_out_name_rejected():
+    """A name reused across the request dicts was silently overwritten
+    by loop order (code-review r5) — now rejected loudly."""
+    import pytest
+    import ray.data as rd
+
+    from raylink.window import windowed
+
+    ds = rd.from_items([{"k": 1, "o": 1, "a": 1.0}])
+    with pytest.raises(ValueError, match="more than once"):
+        windowed(ds, "k", "o", lag_cols={"x": "a"},
+                 rank_aggs={"x": "rank"})
+
+
+def test_windowed_rank_null_order_raises_loudly():
+    """rank/dense_rank crashed with an obscure astype error on a null
+    order value; percent_rank silently emitted NaN (code-review r5) —
+    now a loud ValueError naming the column."""
+    import pytest
+    import ray.data as rd
+
+    from raylink.window import windowed
+
+    ds = rd.from_items([{"k": 1, "o": 1.0}, {"k": 1, "o": None}])
+    with pytest.raises(Exception, match="contains nulls"):
+        windowed(ds, "k", "o", rank_aggs={"rk": "rank"}).to_pandas()
+    # row_number and lag/cum still work with null order values
+    out = windowed(ds, "k", "o", rank_aggs={"rn": "row_number"},
+                   cum_aggs={"cs": ("o", "cumsum")}).to_pandas()
+    assert sorted(out["rn"].tolist()) == [1, 2]
