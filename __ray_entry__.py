@@ -2354,8 +2354,8 @@ def _linkage_edges_fixture_oracle_sql() -> str:
       SELECT url, addr_norm FROM n
       WHERE addr_norm IS NOT NULL
         AND length(trim(addr_norm)) > 0
-        AND NOT regexp_full_match(trim(addr_norm), '[\\s\\W_]+')
-        AND length(addr_norm) > 5
+        AND NOT regexp_full_match(trim(addr_norm), '[^\\p{{L}}\\p{{N}}]+')
+        AND length(trim(addr_norm)) > 5
         AND NOT (length(addr_norm) < 10
                  OR len(regexp_extract_all(addr_norm, '\\S+')) < 2
                  OR length(addr_norm) > 180
@@ -2683,7 +2683,8 @@ def oracle_sql() -> dict[str, str]:
               length(text) AS char_len,
               len(regexp_extract_all(text, '\S+')) AS word_len,
               len(regexp_extract_all(text, '\d')) AS digit_count,
-              len(regexp_extract_all(text, '[^\w\s]')) AS punct_count,
+              len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]'))
+                AS punct_count,
               (length(text) < 10 OR len(regexp_extract_all(text, '\S+')) < 2
                OR length(text) > 180
                OR len(regexp_extract_all(text, '\d')) = 0) AS is_suspicious
@@ -2692,8 +2693,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_filter_valid": r"""
             SELECT doc_id FROM documents
             WHERE text IS NOT NULL AND length(trim(text)) > 0
-              AND NOT regexp_full_match(trim(text), '[\s\W_]+')
-              AND length(text) > 5
+              AND NOT regexp_full_match(trim(text), '[^\p{L}\p{N}]+')
+              AND length(trim(text)) > 5
         """,
         "doc_dedup_exact": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -129,8 +129,15 @@ def approx_quantiles(ds, col: str, qs: list[float],
 
     def sampler(in_col: str):
         def fn(batch: pa.Table) -> pa.Table:
+            # drop nulls FIRST (group_percentiles' documented
+            # exclusion): null -> NaN sorts last, survives the
+            # systematic sample, and np.quantile then returns NaN for
+            # EVERY quantile off a single null row (code-review r5)
+            col = batch.column(in_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
             vals = np.sort(
-                batch.column(in_col).to_numpy(zero_copy_only=False))
+                col.drop_null().to_numpy(zero_copy_only=False))
             n = len(vals)
             if n == 0:
                 return pa.table({"v": pa.array([], pa.float64())})
@@ -181,9 +188,20 @@ def keyword_presence(ds, text_col: str, keywords: list[str]):
 
     def partial(batch: pa.Table) -> pa.Table:
         s = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        import re as _re
+
         kws, hits = [], []
         for kw in keywords:
-            pat = r"\b" + kw + r"\b"
+            # escape: a keyword like 'c++' is an invalid RE2 pattern
+            # (ArrowInvalid kills the job) and 'a.b' silently matches
+            # 'aXb' (code-review r5). \b only anchors against a WORD
+            # edge — applied conditionally so 'c++' (non-word tail)
+            # still matches before a space.
+            pat = _re.escape(kw)
+            if kw and (kw[0].isalnum() or kw[0] == "_"):
+                pat = r"\b" + pat
+            if kw and (kw[-1].isalnum() or kw[-1] == "_"):
+                pat = pat + r"\b"
             kws.append(kw)
             hits.append(
                 int(pc.sum(pc.count_substring_regex(s, pat)).as_py() or 0))
@@ -248,8 +266,15 @@ def group_percentiles(ds, group_col: str, value_col: str,
         vals = g[value_col].to_numpy()
         out = {group_col: sizes.index.to_numpy()}
         for name, q in cols.items():
-            k = np.ceil(q * sizes.to_numpy()).astype(np.int64)
-            k = np.maximum(k, 1)
+            # NOTE: the float CEIL(q*n) can overshoot by one for some
+            # (q, n) pairs (0.07*100 -> 7.000000000000001 -> 8); the
+            # SQL twin computes the SAME double expression so parity
+            # holds bit-for-bit. The clamp below only prevents the
+            # pathological k = n+1 from reading the FIRST VALUE OF THE
+            # NEXT GROUP via starts + k - 1 (code-review r5).
+            n_g = sizes.to_numpy()
+            k = np.ceil(q * n_g).astype(np.int64)
+            k = np.minimum(np.maximum(k, 1), n_g)
             out[name] = vals[starts + k - 1]
         return pd.DataFrame(out)
 

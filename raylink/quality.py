@@ -12,7 +12,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-ONLY_PUNCT_RE = r"^[\s\W_]+$"
+# "no letter or number anywhere" — Unicode classes, because RE2's \W
+# is ASCII-only and the old [\s\W_]+ classified every non-ASCII letter
+# as punctuation, silently dropping e.g. an all-Turkish-uppercase row
+# as punctuation-only (code-review r5; the SQL twin uses the same RE2
+# class so both sides moved together)
+ONLY_PUNCT_RE = r"^[^\p{L}\p{N}]+$"
 
 
 def add_quality_flags(ds, text_col: str, batch_size: int | None = None):
@@ -28,7 +33,10 @@ def add_quality_flags(ds, text_col: str, batch_size: int | None = None):
         # edge tokens, so it can't be used for word counts)
         word_len = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int32())
         digit_count = pc.count_substring_regex(s, r"\d")
-        punct_count = pc.count_substring_regex(s, r"[^\w\s]")
+        # Unicode-aware: RE2 \w is ASCII, so [^\w\s] counted every
+        # non-ASCII letter as punctuation (code-review r5; twin moved
+        # in lockstep)
+        punct_count = pc.count_substring_regex(s, r"[^\p{L}\p{N}_\s]")
         suspicious = pc.or_(
             pc.or_(pc.less(char_len, 10), pc.less(word_len, 2)),
             pc.or_(pc.greater(char_len, 180), pc.equal(digit_count, 0)),
@@ -66,9 +74,11 @@ def filter_valid_text(ds, text_col: str, min_len: int = 5,
             ),
             pc.and_(
                 pc.invert(pc.match_substring_regex(stripped, ONLY_PUNCT_RE)),
-                pc.greater(
-                    pc.utf8_length(pc.cast(s, pa.string())), min_len
-                ),
+                # length of the STRIPPED text: whitespace-padded junk
+                # ('  ab  ') passed the unstripped gate while the
+                # reference length check runs on cleaned text
+                # (code-review r5; twin: length(trim(text)) > 5)
+                pc.greater(pc.utf8_length(stripped), min_len),
             ),
         )
         return batch.filter(mask)
@@ -87,9 +97,13 @@ def scrub_newlines(ds, cols: list[str] | None = None,
             f.name for f in batch.schema if pa.types.is_string(f.type)
         ]
         for name in names:
+            # nulls PROPAGATE (replace/trim are null-safe): the old
+            # fill_null('') silently converted NULL to '' — destroying
+            # null tracking for downstream missing_report /
+            # filter_valid_text / join keys (code-review r5)
             cleaned = pc.utf8_trim_whitespace(
                 pc.replace_substring_regex(
-                    pc.fill_null(batch.column(name), ""), r"\r?\n", " "
+                    batch.column(name), r"\r?\n", " "
                 )
             )
             idx = batch.column_names.index(name)
@@ -104,24 +118,63 @@ def flag_duplicates(ds, key_col: str, out_col: str = "is_duplicate",
                     num_partitions: int = 16):
     """Mark (not drop) rows whose key occurs more than once —
     ``duplicated(keep=False)`` (clean_and_parse.py:215, DeepEDA.py:126-137).
-    Counts per key via partial aggregation, then hash-joined back."""
+    Counts per key via partial aggregation, then hash-joined back.
+
+    NULL keys form one group like pandas duplicated / SQL
+    ``COUNT(*) OVER (PARTITION BY key)``: the hash join can't match
+    them (and the old per-batch count counted the key column itself,
+    giving the null group 0), so null-keyed rows take a separate
+    broadcast-scalar path and union back in (code-review r5)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([key_col]).group_by(key_col).aggregate(
-            [(key_col, "count")])
+            [([], "count_all")])
         return t.rename_columns([key_col, "n"])
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key_col)
         .aggregate(Sum("n", alias_name="_key_count"))
-    )
-    joined = ds.join(counts, join_type="inner",
-                     num_partitions=num_partitions, on=(key_col,))
+    ).materialize()  # consumed twice: null-row probe + the join
+
+    def _null_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(key_col)))
+
+    null_count_rows = counts.map_batches(
+        _null_rows, batch_format="pyarrow").take_all()
+    n_null = int(null_count_rows[0]["_key_count"]) \
+        if null_count_rows else 0
+
+    out_cols = None
+
+    def _valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(key_col)))
+
+    joined = ds.map_batches(_valid, batch_format="pyarrow").join(
+        counts.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column(key_col))),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=(key_col,))
 
     def mark(batch: pa.Table) -> pa.Table:
         dup = pc.greater(batch.column("_key_count"), 1)
-        return batch.drop_columns(["_key_count"]).append_column(out_col, dup)
+        out = (batch.drop_columns(["_key_count"])
+               .append_column(out_col, dup))
+        return out.select(out_cols) if out_cols else out
 
-    return joined.map_batches(mark, batch_format="pyarrow")
+    from .blocks import dataset_schema
+
+    out_cols = list(dataset_schema(ds).names) + [out_col]
+
+    def mark_null(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch.column(key_col)))
+        flag = pa.array([n_null > 1] * t.num_rows, pa.bool_())
+        return t.append_column(out_col, flag).select(out_cols)
+
+    marked = joined.map_batches(mark, batch_format="pyarrow")
+    if n_null == 0:
+        return marked
+    nulls_marked = ds.map_batches(mark_null, batch_format="pyarrow")
+    return marked.union(nulls_marked)

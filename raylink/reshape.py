@@ -174,6 +174,15 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
     one Arrow type (cast upstream otherwise — silent casts here would
     hide precision loss)."""
 
+    clash = {var_name, value_name} & set(id_cols)
+    if clash:
+        # explode/unnest_struct raise on output-name collisions; melt
+        # silently overwrote the id column via dict-key collision
+        # (code-review r5)
+        raise ValueError(
+            f"melt: var_name/value_name {sorted(clash)} collide with "
+            f"id_cols — pick different output names")
+
     def fn(batch: pa.Table) -> pa.Table:
         types = {str(batch.schema.field(c).type) for c in value_cols}
         if len(types) > 1:

@@ -24,7 +24,8 @@ def read_csv_tolerant(path: str, **kwargs):
     and header whitespace cleaned (reference addresskit/normalize.py:
     19-27,152-154). Decodes driver-side (fixture-scale shim; Parquet is
     the scale path per input_hint) then hands Arrow to Ray."""
-    data = open(path, "rb").read()
+    with open(path, "rb") as f:
+        data = f.read()
     text = None
     for enc in ("utf-8-sig", "utf-8"):
         try:
@@ -33,7 +34,10 @@ def read_csv_tolerant(path: str, **kwargs):
         except UnicodeDecodeError:
             continue
     if text is None:
-        text = data.decode("cp1254")
+        # errors='replace': cp1254 is not a total codec (0x9D, 0x81,
+        # ... are undefined), so the strict last-resort decode could
+        # itself raise — defeating "tolerant" (code-review r5)
+        text = data.decode("cp1254", errors="replace")
     tbl = pacsv.read_csv(io.BytesIO(text.encode("utf-8")), **kwargs)
     tbl = tbl.rename_columns(
         [c.lstrip("﻿").strip() for c in tbl.column_names])
@@ -49,12 +53,17 @@ def write_json_records(ds, out_dir: str):
 def write_side_outputs(ds, text_col: str, out_root: str,
                        suspicious_col: str = "is_suspicious"):
     """Quarantine side-output split (reference clean_and_parse.py:280-287
-    *_suspicious.csv): two partitioned Parquet dirs, one per class."""
+    *_suspicious.csv): two partitioned Parquet dirs, one per class.
+    The two outputs PARTITION the input: a NULL flag routes to the
+    suspicious side (quarantine semantics — unknown is not clean);
+    filtering on the raw flag dropped null-flag rows from BOTH outputs
+    (code-review r5)."""
     good = ds.map_batches(
-        lambda t: t.filter(pc.invert(t.column(suspicious_col))),
+        lambda t: t.filter(pc.invert(pc.fill_null(
+            t.column(suspicious_col), True))),
         batch_format="pyarrow")
     bad = ds.map_batches(
-        lambda t: t.filter(t.column(suspicious_col)),
+        lambda t: t.filter(pc.fill_null(t.column(suspicious_col), True)),
         batch_format="pyarrow")
     good_dir = os.path.join(out_root, "clean")
     bad_dir = os.path.join(out_root, "suspicious")

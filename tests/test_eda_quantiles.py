@@ -70,3 +70,19 @@ def test_group_percentiles_exact_vs_duckdb():
     FROM r GROUP BY g ORDER BY g
     """).fetchdf()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_approx_quantiles_ignores_nulls():
+    """One null among valid values must not poison every quantile with
+    NaN (code-review r5)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.eda import approx_quantiles
+
+    vals = list(np.arange(1.0, 101.0)) + [None]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    got = approx_quantiles(ds, "v", [0.5])
+    assert not np.isnan(got[0])
+    assert 40 <= got[0] <= 60

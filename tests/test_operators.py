@@ -663,3 +663,53 @@ def test_anti_join_null_key_parity():
         left, rd.from_arrow(right_with_null), "k")
         .to_pandas()["v"].tolist())
     assert b == [2, 4]
+
+
+def test_keyword_presence_escapes_metacharacters():
+    """'c++' crashed the job with an RE2 parse error and 'a.b' matched
+    'aXb' (code-review r5) — keywords are literals."""
+    docs = rd.from_items([
+        {"text": "i like c++ and a.b here"},
+        {"text": "axb is not a.b and c is not c++"},
+    ])
+    kp = keyword_presence(docs, "text", ["c++", "a.b"]).to_pandas()
+    got = dict(zip(kp["keyword"], kp["hits"]))
+    assert got["c++"] == 2
+    assert got["a.b"] == 2  # 'axb' not counted
+
+
+def test_quality_unicode_text_not_punct_only():
+    """RE2 \\W is ASCII-only: an all-non-ASCII row was classified as
+    punctuation-only and silently dropped (code-review r5)."""
+    from raylink.quality import add_quality_flags, filter_valid_text
+
+    ds = rd.from_items([
+        {"text": "ÜÇÜNCÜ ÇÖĞÜŞÜ MAHALLESİ"},   # survives now
+        {"text": "...---!!!"},                 # genuinely punct-only
+        {"text": "  ab  "},                    # stripped len 2 <= 5
+        {"text": "valid address 123 here"},
+    ])
+    kept = filter_valid_text(ds, "text").to_pandas()["text"].tolist()
+    assert "ÜÇÜNCÜ ÇÖĞÜŞÜ MAHALLESİ" in kept
+    assert "...---!!!" not in kept
+    assert "  ab  " not in kept
+    flags = add_quality_flags(ds, "text").to_pandas()
+    row = flags[flags["text"].str.startswith("ÜÇÜNCÜ")].iloc[0]
+    assert row["punct_count"] == 0  # letters are not punctuation
+
+
+def test_flag_duplicates_null_keys_are_a_group():
+    """SQL COUNT(*) OVER (PARTITION BY key) groups NULLs together; the
+    old inner join silently dropped null-keyed rows from a 'mark, not
+    drop' utility (code-review r5)."""
+    from raylink.quality import flag_duplicates
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", None, None, "b"]),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    got = (flag_duplicates(ds, "k").to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    assert len(got) == 5                       # mark, never drop
+    assert got["is_duplicate"].tolist() == [True, True, True, True,
+                                            False]

@@ -90,3 +90,41 @@ def test_extract_vectorized_matches_per_row():
     batch2 = pa.table({"html": pa.array(docs2, pa.binary())})
     got2 = ex(batch2).column("text_extracted").to_pylist()
     assert got2 == want2
+
+
+def test_side_outputs_partition_null_flags(tmp_path):
+    """A NULL suspicious flag must land in exactly one side (the
+    suspicious quarantine) — filtering on the raw flag dropped such
+    rows from BOTH outputs (code-review r5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "text": ["clean", "bad", "unknown"],
+        "is_suspicious": pa.array([False, True, None], pa.bool_()),
+    }))
+    good_dir, bad_dir = write_side_outputs(ds, "text", str(tmp_path))
+    import os
+
+    def rows(d):
+        out = []
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                out += pq.read_table(os.path.join(d, f))["text"].to_pylist()
+        return sorted(out)
+
+    assert rows(good_dir) == ["clean"]
+    assert rows(bad_dir) == ["bad", "unknown"]
+
+
+def test_read_csv_tolerant_undecodable_byte(tmp_path):
+    """cp1254 is not a total codec: byte 0x9D used to crash the
+    last-resort decode of the 'tolerant' reader (code-review r5)."""
+    from raylink.sources import read_csv_tolerant
+
+    p = tmp_path / "weird.csv"
+    p.write_bytes(b"id,txt\n1,ab\x9dcd\n")
+    got = read_csv_tolerant(str(p)).to_pandas()
+    assert got["id"].tolist() == [1]
+    assert got["txt"].iloc[0].startswith("ab")
