@@ -1988,16 +1988,17 @@ def _weak_label_oracle_sql() -> str:
     built-in hint sets), inlined as SQL lists; the labeling LOGIC is
     re-implemented. Tokens/labels are space-joined so the hash compare
     sees plain strings."""
-    from raylink.parse import CITY_HINTS, DISTRICT_HINTS, IL_SET
     from raylink.weak_label import default_gazetteers
 
+    # SINGLE source of truth: the sets the engine actually matches
+    # against (r5: the built-in hint sets are now normalized, so the
+    # twin must inline the NORMALIZED forms — taking them from
+    # default_gazetteers keeps both sides in lockstep by construction)
     gaz = default_gazetteers()
     mah = "[" + ", ".join(
         f"'{v}'" for v in sorted(gaz["mahalle_index"])) + "]"
-    il = "[" + ", ".join(
-        f"'{v}'" for v in sorted(set(IL_SET) | set(CITY_HINTS))) + "]"
-    ilce = "[" + ", ".join(
-        f"'{v}'" for v in sorted(DISTRICT_HINTS)) + "]"
+    il = "[" + ", ".join(f"'{v}'" for v in sorted(gaz["il"])) + "]"
+    ilce = "[" + ", ".join(f"'{v}'" for v in sorted(gaz["ilce"])) + "]"
 
     fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
     return f"""

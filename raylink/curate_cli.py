@@ -58,7 +58,22 @@ def main(argv=None) -> int:
                    metavar="NAME=FRAC[,NAME=FRAC...]")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--overwrite", action="store_true",
+                   help="clear an existing non-empty --out first")
     args = p.parse_args(argv)
+
+    # write_parquet only ADDS uniquely-named files: rerunning into a
+    # non-empty --out silently mixed stale rows into the dataset AND
+    # the report counts (reproduced: 31 -> 64 rows on an immediate
+    # rerun; code-review r5). Refuse, or clear with --overwrite.
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        if not args.overwrite:
+            p.error(f"--out {args.out!r} exists and is not empty; "
+                    "pass --overwrite to clear it (a rerun would mix "
+                    "stale output files into the dataset)")
+        import shutil
+
+        shutil.rmtree(args.out)
 
     import ray
 

@@ -26,7 +26,11 @@ def decode_bytes(data: bytes) -> str:
             return data.decode(enc)
         except UnicodeDecodeError:
             pass
-    return data.decode("cp1254")
+    # errors='replace': cp1254 is not a total codec (0x81/0x8D/0x9D/…
+    # are undefined), so arbitrary crawl bytes could crash the whole
+    # batch out of the LAST-RESORT tier of a fallback chain
+    # (code-review r5); degrade to U+FFFD instead
+    return data.decode("cp1254", errors="replace")
 
 
 class ExtractText:
@@ -66,19 +70,31 @@ class ExtractText:
             s = pc.cast(col, pa.string())
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             return None  # some page needs the cp1254 fallback
+        if len(s) == 0:
+            # ''.join([]) -> unescape('') -> ''.split(sep) yields ['']
+            # (length 1), which append_column rejects on a 0-row table
+            # (code-review r5, reproduced)
+            return pa.array([], pa.string())
         ex = pc.extract_regex(s, r"(?s)<article>(?P<body>.*?)</article>")
         # struct_field (unlike StructArray.field) propagates the
         # parent's no-match nulls into the child
         vals = pc.struct_field(ex, "body").to_pylist()
-        raw = s.to_pylist()
-        # article-less docs tag-strip the raw text (minus a UTF-8 BOM,
-        # which the per-row utf-8-sig decode would have consumed)
-        fixed = [
-            v if v is not None else
-            ("" if r is None else self.tag_re.sub(
-                " ", r[1:] if r.startswith("﻿") else r))
-            for v, r in zip(vals, raw)
-        ]
+        if any(v is None for v in vals):
+            # only article-less docs need the raw text; boxing the full
+            # HTML column to Python strings on the all-article common
+            # case wasted tens of MB per batch (code-review r5)
+            raw = s.to_pylist()
+            # article-less docs tag-strip the raw text (minus a UTF-8
+            # BOM, which the per-row utf-8-sig decode would have
+            # consumed)
+            fixed = [
+                v if v is not None else
+                ("" if r is None else self.tag_re.sub(
+                    " ", r[1:] if r.startswith("﻿") else r))
+                for v, r in zip(vals, raw)
+            ]
+        else:
+            fixed = vals
         sep = "\x00"
         if any(sep in v for v in fixed):
             return pa.array([html_mod.unescape(v) for v in fixed],

@@ -85,7 +85,14 @@ def canonicalize_one(url: str) -> tuple[str, str, str]:
     # '?' (a '?utm_..=..' match): a URL that never had a query string
     # but holds a literal '&' in its path ('http://h/a&b') must not be
     # rewritten to 'http://h/a?b' (ADVICE r4). Mirrored in
-    # _canon_sql_expr's tail3.
+    # _canon_sql_expr's tail3. KNOWN LIMIT (code-review r5, pinned):
+    # when a path ALSO contains a literal '&' AND the removed tracking
+    # param led the query ('/a&b?utm=1&c=2'), the repair targets the
+    # path '&' — the canon can collide with a genuinely different URL.
+    # Fixing it needs the removed-'?' POSITION, which the RE2-only SQL
+    # twin cannot express; both sides agree (4000-case fuzz), so this
+    # is a canonical-value nuance on pathological URLs, not a parity
+    # or dedup-correctness break.
     if had_query and "?" not in tail and "&" in tail:
         tail = tail.replace("&", "?", 1)
     tail = re.sub(r"[?&]+$", "", tail)
@@ -156,7 +163,8 @@ def domain_stats(ds, url_col: str, batch_size: int = 8192):
             "n": pa.array(agg["n"].to_numpy(np.int64)),
         })
 
-    per_host = (ds.map_batches(partial, batch_format="pyarrow")
+    per_host = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=batch_size)
                 .groupby(["domain", "host"])
                 .aggregate(Sum("n", alias_name="n_pages_h")))
 

@@ -25,15 +25,19 @@ _DEFAULT_GAZ_PATH = os.path.join(
     "configs", "gazetteers.json")
 
 
-def load_gazetteers(path: str, shape: str | None = None) -> dict:
+def load_gazetteers(path: str, shape: str | None = None,
+                    normalize_cfg: dict | None = None) -> dict:
     """Load gazetteers from a JSON file — the reference loads its posta
     hierarchy JSONs the same way (weak_labeling.py:15-19). Accepted
     shapes: {"mahalle": [...], "il": [...], "ilce": [...]} (missing
     keys fall back to the built-in hint sets), or a plain mapping whose
     KEYS are neighborhood names (the reference's mahalle->hierarchy
-    index). Entries are normalized with the default normalizer; for
-    multi-word entries the first token is indexed (the labeler tags
-    single tokens).
+    index). ALL entries — including the built-in fallback hint sets —
+    are normalized with the labeling normalizer (code-review r5: the
+    raw fallback sets carried diacritics like 'kadıköy', which a
+    folded token stream can never match, so B-ILCE silently never
+    fired for half the built-in districts); for multi-word entries the
+    first token is indexed (the labeler tags single tokens).
 
     Shape detection discriminates on VALUE types (ADVICE r2 #3): the
     keyed shape carries list values under its known keys, while a
@@ -43,7 +47,11 @@ def load_gazetteers(path: str, shape: str | None = None) -> dict:
     to override detection."""
     with open(path, encoding="utf-8") as f:
         data = json.load(f)
-    norm = get_normalizer(None)
+    # index with the SAME normalizer the labeling stage will use —
+    # a custom normalize_cfg (e.g. fold_diacritics=False) would
+    # otherwise tokenize 'kadıköy' differently than the index entry
+    # (code-review r5)
+    norm = get_normalizer(normalize_cfg)
 
     def index(entries) -> set:
         out = set()
@@ -64,14 +72,14 @@ def load_gazetteers(path: str, shape: str | None = None) -> dict:
     if shape == "hierarchy":
         # mahalle -> hierarchy mapping: keys are the index
         return {"mahalle_index": index(data.keys()),
-                "il": set(IL_SET) | set(CITY_HINTS),
-                "ilce": set(DISTRICT_HINTS)}
+                "il": index(set(IL_SET) | set(CITY_HINTS)),
+                "ilce": index(DISTRICT_HINTS)}
     return {
         "mahalle_index": index(data.get("mahalle") or ()),
         "il": (index(data["il"]) if data.get("il")
-               else set(IL_SET) | set(CITY_HINTS)),
+               else index(set(IL_SET) | set(CITY_HINTS))),
         "ilce": (index(data["ilce"]) if data.get("ilce")
-                 else set(DISTRICT_HINTS)),
+                 else index(DISTRICT_HINTS)),
     }
 
 
@@ -82,10 +90,16 @@ def default_gazetteers() -> dict:
     B-MAHALLE can fire by default; built-in il/ilce hint sets."""
     if os.path.exists(_DEFAULT_GAZ_PATH):
         return load_gazetteers(_DEFAULT_GAZ_PATH)
+    norm = get_normalizer(None)
+
+    def index(entries) -> set:
+        return {t for e in entries
+                for t in norm(str(e)).split()[:1]}
+
     return {
         "mahalle_index": set(),
-        "il": set(IL_SET) | set(CITY_HINTS),
-        "ilce": set(DISTRICT_HINTS),
+        "il": index(set(IL_SET) | set(CITY_HINTS)),
+        "ilce": index(DISTRICT_HINTS),
     }
 
 
@@ -121,6 +135,12 @@ class WeakLabel:
             tk, lb = self.label_one(t)
             toks.append(tk)
             labs.append(lb)
+        drop = [c for c in ("tokens", "bio_labels")
+                if c in batch.column_names]
+        if drop:
+            # overwrite-on-rerun like the sibling stages — appending
+            # blindly created duplicate columns (code-review r5)
+            batch = batch.drop_columns(drop)
         batch = batch.append_column(
             "tokens", pa.array(toks, pa.list_(pa.string())))
         return batch.append_column(
@@ -132,8 +152,9 @@ def weak_label_dataset(ds, text_col: str = "text", gazetteers: dict | None = Non
                        gazetteer_path: str | None = None,
                        concurrency: int = 2, batch_size: int = 2048):
     if gazetteers is None:
-        gazetteers = (load_gazetteers(gazetteer_path) if gazetteer_path
-                      else default_gazetteers())
+        gazetteers = (load_gazetteers(gazetteer_path,
+                                      normalize_cfg=normalize_cfg)
+                      if gazetteer_path else default_gazetteers())
     ref = ray.put(gazetteers)
     return ds.map_batches(
         WeakLabel,

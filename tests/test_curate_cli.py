@@ -73,3 +73,29 @@ def test_curate_cli_end_to_end(tmp_path, capsys):
     merged = got.merge(redo[["base_id", "split"]], on="base_id",
                        suffixes=("", "_redo"))
     assert (merged["split"] == merged["split_redo"]).all()
+
+
+def test_curate_cli_refuses_stale_out(tmp_path):
+    """Rerunning into a non-empty --out silently mixed stale files
+    into the dataset and double-counted the report (code-review r5,
+    reproduced 31 -> 64 rows); now it refuses without --overwrite and
+    clears with it."""
+    import pyarrow as pa
+    import pytest
+
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [f"document body {i} with several words" for i in range(20)],
+    })
+    docs_p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(docs), docs_p)
+    out = str(tmp_path / "out")
+    argv = ["--docs", docs_p, "--out", out,
+            "--split", "train=0.8,val=0.2"]
+    assert main(argv) == 0
+    with pytest.raises(SystemExit):
+        main(argv)                       # non-empty out -> refuse
+    n_first = rd.read_parquet(out).count()
+    assert main(argv + ["--overwrite"]) == 0
+    n_second = rd.read_parquet(out).count()
+    assert n_first == n_second == 20     # no stale mixing

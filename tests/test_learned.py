@@ -355,3 +355,17 @@ def test_fit_classifier_dense_guard():
     with pytest.raises(ValueError, match="fit_classifier_distributed"):
         _fit_classifier_local(texts, labels, (3, 3), 16, (1, 1), 16,
                               None)
+
+
+def test_weak_labeling_folded_diacritic_districts():
+    """The built-in hint sets are indexed through the labeling
+    normalizer: folded tokens like 'kadikoy'/'agri' used to miss the
+    raw 'kadıköy'/'ağrı' entries, so B-ILCE/B-IL silently never fired
+    for diacritic place names (code-review r5, reproduced)."""
+    ds = rd.from_items([{"text": "Kadıköy Üsküdar Ağrı Çeşme"}])
+    out = weak_label_dataset(ds, "text", concurrency=1).to_pandas()
+    lab_by_tok = dict(zip(out["tokens"][0], out["bio_labels"][0]))
+    assert lab_by_tok["kadikoy"] == "B-ILCE"
+    assert lab_by_tok["uskudar"] == "B-ILCE"
+    assert lab_by_tok["cesme"] == "B-ILCE"
+    assert lab_by_tok["agri"] == "B-IL"

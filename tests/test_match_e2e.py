@@ -281,3 +281,20 @@ def test_match_empty_side_no_crash():
                            left_text_col="addr_norm",
                            right_text_col="addr_norm")
     assert edges.count() == 0
+
+
+def test_extract_empty_batch_and_undecodable_bytes():
+    """code-review r5: a zero-row batch crashed the vectorized extract
+    path (append_column length mismatch) and a byte undefined in
+    cp1254 crashed the LAST-RESORT decode tier."""
+    from raylink.extract import ExtractText, decode_bytes
+
+    ex = ExtractText(html_col="html", out_col="text")
+    empty = pa.table({"html": pa.array([], pa.binary())})
+    out = ex(empty)
+    assert out.num_rows == 0 and "text" in out.column_names
+    # 0x81 is undefined in cp1254 and invalid UTF-8
+    assert "junk" in decode_bytes(b"\x81 junk")
+    got = ex(pa.table({"html": pa.array(
+        [b"<article>ok \x81 here</article>"], pa.binary())}))
+    assert "ok" in got.column("text")[0].as_py()
