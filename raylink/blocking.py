@@ -27,6 +27,21 @@ _RE_DIGITS = re.compile(r"\d+")
 _RE_MODE_N = re.compile(r"\d+")
 
 
+def _mode_n(mode: str) -> int:
+    """First integer embedded in a blocking mode string ('prefix6' ->
+    6). A mode spelled without its N (e.g. 'prefix', 'digits+prefix')
+    crashes the reference with a bare IndexError (blocking.py:28,32 —
+    ``int(re.findall(r"\\d+", mode)[0])``); raise a config error that
+    names the mode instead of surfacing an opaque index failure from
+    inside a Ray task."""
+    m = _RE_MODE_N.search(mode)
+    if m is None:
+        raise ValueError(
+            f"blocking mode {mode!r} is missing its size suffix "
+            f"(expected e.g. 'prefix6', 'digits+prefix6', 'geohash5')")
+    return int(m.group(0))
+
+
 def alnum_lower(s: str) -> str:
     """Mirrors ``_alnum_lower`` (blocking.py:7-10): lowercase, keep
     [a-z0-9ğüşöçı] only."""
@@ -215,10 +230,10 @@ def make_block_key(row: dict, text_col: str, mode: str,
     txt = row.get(text_col, "") or ""
 
     if mode.startswith("digits+prefix"):
-        n = int(_RE_MODE_N.findall(mode)[0])
+        n = _mode_n(mode)
         return f"{first_digits(txt)}|{alnum_lower(txt)[:n]}"
     if mode.startswith("phonetic+geohash") or mode.startswith("geohash"):
-        n = int(_RE_MODE_N.findall(mode)[0])
+        n = _mode_n(mode)
         # first column NAME present wins (a present-but-null lat does
         # NOT fall through to latitude) — the batch kernel picks by
         # column name, and the two paths must agree row for row
@@ -230,10 +245,10 @@ def make_block_key(row: dict, text_col: str, mode: str,
             return f"{phonetic_token(txt)}|{gh}"
         return gh
     if mode.startswith("phonetic+prefix"):
-        n = int(_RE_MODE_N.findall(mode)[0])
+        n = _mode_n(mode)
         return f"{phonetic_token(txt)}|{alnum_lower(txt)[:n]}"
     if mode.startswith("prefix"):
-        n = int(_RE_MODE_N.findall(mode)[0])
+        n = _mode_n(mode)
         return alnum_lower(txt)[:n]
     if mode == "province+district":
         for a, b in (("il", "ilce"), ("province", "district"),
@@ -270,7 +285,7 @@ def make_block_key_batch_fn(text_col: str, mode: str,
         if "geohash" in mode_l:
             import numpy as np
 
-            n = int(_RE_MODE_N.findall(mode_l)[0])
+            n = _mode_n(mode_l)
             latc = next((c for c in _LAT_COLS if c in cols), None)
             lonc = next((c for c in _LON_COLS if c in cols), None)
             if latc is None or lonc is None:

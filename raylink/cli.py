@@ -59,6 +59,19 @@ def main(argv=None) -> int:
                         "ranking.top_k_per_group)")
     args = p.parse_args(argv)
 
+    # load_cfg keeps the reference's silent-{} semantics for missing
+    # files (addresskit/match.py:35-39) — fine for library callers,
+    # but a typo'd CLI path would "run" with the loader defaults
+    # (left_id='id', single global block) and fail much later inside a
+    # Ray task; an explicitly-passed path that does not exist is a
+    # hard config error on the CLI surface.
+    for flag, path in (("--match-config", args.match_config),
+                       ("--normalize-config", args.normalize_config)):
+        if path and not os.path.exists(path):
+            print(f"error: {flag} {path!r} does not exist",
+                  file=sys.stderr)
+            return 2
+
     import ray
 
     owns_ray = not ray.is_initialized()
@@ -99,11 +112,24 @@ def main(argv=None) -> int:
     )
 
     os.makedirs(args.out, exist_ok=True)
+
+    def _fresh(target: str) -> str:
+        # write_parquet APPENDS uniquely-named files to an existing
+        # directory, so a re-run with the same --out would mix the
+        # previous run's parquet into the counts, the cluster_sample
+        # input, and every downstream reader — clear the stage dir
+        # first (re-runs are the CLI's documented resume story via
+        # --checkpoint-dir, not via leftover output files)
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+        return target
+
     report = {"pages": args.pages, "out": args.out}
     for name in ("edges", "clusters", "unmatched_left", "unmatched_right"):
         if name not in out:
             continue
-        target = os.path.join(args.out, name)
+        target = _fresh(os.path.join(args.out, name))
         out[name].write_parquet(target)
         # an empty dataset writes no files at all
         report[name] = (
@@ -115,7 +141,7 @@ def main(argv=None) -> int:
         from .report import match_preview
 
         left, right = split_left_right(out["prepared"])
-        target = os.path.join(args.out, "preview")
+        target = _fresh(os.path.join(args.out, "preview"))
         match_preview(
             out["edges"], left, right,
             left_id=match_cfg.left_id, right_id=match_cfg.right_id,
@@ -128,7 +154,7 @@ def main(argv=None) -> int:
     if args.sample_per_cluster and report.get("clusters"):
         from .ranking import top_k_per_group
 
-        target = os.path.join(args.out, "cluster_sample")
+        target = _fresh(os.path.join(args.out, "cluster_sample"))
         # read the clusters parquet just written rather than sampling
         # out["clusters"] — the latter is lazy and would re-execute
         # the whole connected-components lineage a second time

@@ -53,7 +53,13 @@ DEFAULT_NORMALIZE_CFG: dict = {
     "replace": {},
     "abbreviations": {
         # expand_abbr families from configs/normalize.yaml:5-12 inverted
-        # to src->target word-boundary replacements
+        # to src->target word-boundary replacements.
+        # NOTE (PARITY #12): keys ending in '.' are inert in BOTH
+        # engines — the shared rule compiles to \b<src>\.\b and \b
+        # after '.' needs a following word char, which "mah. " never
+        # has (reference addresskit/normalize.py:118-122 has the
+        # identical dead keys). They are kept because the reference
+        # config carries them; the dotless twins do the real work.
         "mah.": "mahalle", "mah": "mahalle", "mh.": "mahalle",
         "mh": "mahalle", "mahallesi": "mahalle",
         "cad.": "cadde", "cad": "cadde", "cd.": "cadde", "caddesi": "cadde",

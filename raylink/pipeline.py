@@ -22,7 +22,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .checkpoint import CheckpointManager
-from .cluster import connected_components
 from .config import DEFAULT_NORMALIZE_CFG, MatchConfig, fingerprint
 from .extract import extract_dataset
 from .match import find_hot_blocks, match_datasets, unmatched
@@ -188,7 +187,13 @@ def run_linkage(pages, match_cfg: MatchConfig | None = None,
     if ckpt:
         edges_fp_inputs = {"prep": prep_fp, "match": cfg.to_dict(),
                            "hot": sorted(hot)}
-        if cfg.block_by and "block_key" in (prepared.schema().names or []):
+        # schema() is None when every page was dropped by the quality
+        # gate (same guard as match.py's empty-input path) — fall back
+        # to the whole-stage checkpoint instead of crashing
+        prep_schema = prepared.schema()
+        prep_cols = list(prep_schema.names) if prep_schema is not None \
+            else []
+        if cfg.block_by and "block_key" in prep_cols:
             # partition-granular: every edge lives inside one blocking
             # key (both endpoints share it), so edges keyed on
             # block_key satisfy the run_partitioned contract — a

@@ -437,3 +437,32 @@ def test_partitioned_zero_output_schema(tmp_path):
         num_partitions=P)
     assert out.count() == 0
     assert "id" in set(out.schema().names or [])
+
+
+def test_checkpointed_linkage_all_rows_filtered(tmp_path, ray_session):
+    """Every page dropped by the quality gate -> prepared is EMPTY and
+    Dataset.schema() is None; the checkpointed edges branch must fall
+    back to the whole-stage checkpoint and return zero edges instead
+    of crashing on schema().names (code-review r5)."""
+    import pyarrow as pa
+
+    from raylink.config import MatchConfig
+    from raylink.fixtures import build_pages, page_html
+    from raylink.pipeline import run_linkage
+
+    pages, _ = build_pages(6, seed=11)
+    junk = ["!!! ... ???"] * pages.num_rows  # punct-only: gate drops all
+    pages = (pages
+             .set_column(pages.schema.get_field_index("html"), "html",
+                         pa.array([page_html(j, u) for j, u in
+                                   zip(junk, pages["url"].to_pylist())],
+                                  pa.binary()))
+             .set_column(pages.schema.get_field_index("text"), "text",
+                         pa.array(junk)))
+    cfg = MatchConfig(threshold=85.0, topk=3, block_by="digits+prefix6",
+                      left_id="url", right_id="url")
+    out = run_linkage(rd.from_arrow(pages), match_cfg=cfg,
+                      checkpoint_dir=str(tmp_path / "ck"),
+                      with_clusters=False, with_unmatched=False,
+                      salt_hot_blocks=False)
+    assert out["edges"].count() == 0

@@ -4,6 +4,7 @@ order, parser golden vectors, blocking DSL, confidence combination."""
 
 import math
 import random
+import re
 
 import duckdb
 import pytest
@@ -307,3 +308,51 @@ def test_abbr_needle_precheck_is_necessary_condition():
         for needle, pat, _repl in rules:
             if pat.search(s):
                 assert needle in s, (needle, pat.pattern, s)
+
+
+def test_blocking_mode_missing_n_raises_config_error():
+    """Modes spelled without their size suffix crash the reference
+    with a bare IndexError (blocking.py:28,32); we raise a ValueError
+    that names the mode — in the row builder AND the batch kernel."""
+    import pyarrow as pa
+
+    from raylink.blocking import make_block_key_batch_fn
+
+    row = {"t": "akasya mahalle no 12"}
+    for mode in ("prefix", "digits+prefix", "geohash",
+                 "phonetic+prefix"):
+        with pytest.raises(ValueError, match="size suffix"):
+            make_block_key(row, "t", mode)
+    fn = make_block_key_batch_fn("t", "digits+prefix")
+    with pytest.raises(ValueError, match="size suffix"):
+        fn(pa.table({"t": ["abc 12"]}))
+
+
+def test_dead_dotted_abbreviation_keys_parity():
+    """PARITY #12: abbreviation keys ending in '.' compile to
+    \\b<src>\\.\\b, and \\b after the dot needs a following word char —
+    so 'cd. ' / 'mah. ' NEVER match, in BOTH engines (the reference
+    builds the identical pattern, addresskit/normalize.py:118-122).
+    Dotted keys are inert; the dotless twins do the real work."""
+    # the reference's literal rule, reproduced inline: no expansion
+    assert (re.sub(r"\bcd\.\b", "cadde", "istiklal cd. no 5")
+            == "istiklal cd. no 5")
+    # ours behaves identically: 'cd.' has no dotless twin in the
+    # default config, so the token survives (punct-stripped to 'cd')
+    assert normalize_text("istiklal cd. no:5") == "istiklal cd no 5"
+    # dotted keys WITH a dotless twin are rescued by the twin
+    assert normalize_text("akasya mah. guven") == "akasya mahalle guven"
+
+
+def test_parse_word_class_dotless_i_parity():
+    """PARITY #13: the reference's bina_adi/mevkii word classes are
+    [a-zğüşiöç\\-] — they omit dotless 'ı'
+    (addresskit/preprocessing/normalize_and_parse.py:86,139,146), so
+    'yalı' splits into 'yal' + nothing. We reproduce that bit-for-bit
+    (parse F1 parity beats linguistic correctness here)."""
+    # the reference's literal left-context rule
+    assert re.findall(r"[a-zğüşiöç\-]+", "yalı apartman") == \
+        ["yal", "apartman"]
+    _, parts = normalize_and_parse("yalı apartman no 3")
+    assert parts["bina_adi"] == "yal apartman"
+    assert parts["no"] == "3"

@@ -147,3 +147,21 @@ def test_learned_matcher_rejects_hard_twins(trained):
         if not m
     }
     assert not (got & negatives)
+
+
+def test_collect_pair_training_skips_null_ids(trained):
+    """A labeled row with a null id can never resolve against
+    prepared; it must be skipped like a quality-dropped url, not crash
+    sorted() with a str-vs-None TypeError."""
+    prepared, labeled, x, y, kept, _, _ = trained
+    with_null = pa.table({
+        "left_id": pa.array(
+            labeled["left_id"].to_pylist() + [None, "u"]),
+        "right_id": pa.array(
+            labeled["right_id"].to_pylist() + ["u", None]),
+        "is_match": pa.array(
+            labeled["is_match"].to_pylist() + [True, False]),
+    })
+    x2, y2, kept2 = collect_pair_training(prepared, with_null)
+    assert kept2 == kept
+    assert np.array_equal(x2, x) and np.array_equal(y2, y)
