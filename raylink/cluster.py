@@ -29,7 +29,13 @@ from .blocks import ensure_arrow
 
 
 def _sym_edges(edges, src: str, dst: str):
-    """(u,v) -> both directions, columns (node, nbr), self-pairs dropped."""
+    """(u,v) -> both directions, columns (node, nbr). Self-pairs are
+    KEPT (as (x, x)) so a node whose only edge is a self-match still
+    receives a cluster row — the documented contract is "every node
+    incident to an edge", and connected_components_blocked emits the
+    singleton for the same input. Null endpoints raise (module
+    loud-null-guard convention; silently dropping the row would hide
+    an upstream join bug as a missing cluster)."""
 
     def sym(batch: pa.Table) -> pa.Table:
         if src not in batch.column_names:
@@ -38,10 +44,13 @@ def _sym_edges(edges, src: str, dst: str):
                              "nbr": pa.array([], pa.string())})
         u = batch.column(src).cast(pa.string())
         v = batch.column(dst).cast(pa.string())
+        if u.null_count or v.null_count:
+            raise ValueError(
+                f"connected_components: null {src}/{dst} endpoint in "
+                f"edges — fix the upstream edge producer")
         node = pa.chunked_array([u, v]).combine_chunks()
         nbr = pa.chunked_array([v, u]).combine_chunks()
-        t = pa.table({"node": node, "nbr": nbr})
-        return t.filter(pc.invert(pc.equal(t["node"], t["nbr"])))
+        return pa.table({"node": node, "nbr": nbr})
 
     return edges.map_batches(sym, batch_format="pyarrow")
 
@@ -225,10 +234,16 @@ def connected_components_blocked(edges, key_col: str = "block_key",
         keys = np.asarray(batch.column(key_col))
         hb = (pd.util.hash_array(keys) % np.uint64(num_buckets)).astype(
             np.int32)
-        return pa.table(
-            {"_bucket": pa.array(hb),
-             "u": batch.column(src).cast(pa.string()),
-             "v": batch.column(dst).cast(pa.string())})
+        u = batch.column(src).cast(pa.string())
+        v = batch.column(dst).cast(pa.string())
+        if u.null_count or v.null_count:
+            # same loud guard as connected_components' _sym_edges —
+            # np.unique would otherwise throw an opaque TypeError
+            # (None vs str) deep inside per_bucket
+            raise ValueError(
+                f"connected_components_blocked: null {src}/{dst} "
+                f"endpoint in edges — fix the upstream edge producer")
+        return pa.table({"_bucket": pa.array(hb), "u": u, "v": v})
 
     bucketed = edges.map_batches(to_bucket, batch_format="pyarrow")
 

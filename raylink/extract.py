@@ -20,7 +20,10 @@ import pyarrow as pa
 
 def decode_bytes(data: bytes) -> str:
     """UTF-8-SIG -> UTF-8 -> cp1254 fallback chain
-    (reference addresskit/normalize.py:19-27)."""
+    (reference addresskit/normalize.py:19-27). The utf-8 tier is
+    unreachable ('utf-8-sig' accepts every valid UTF-8 input, BOM
+    optional) — in the reference too; kept to mirror its literal
+    chain."""
     for enc in ("utf-8-sig", "utf-8"):
         try:
             return data.decode(enc)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import html as html_mod
 import os
+import time
 from datetime import datetime, timedelta
 
 import pyarrow as pa
@@ -310,12 +311,22 @@ def ensure_fixture_dir(n_entities: int, seed: int = 42,
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
-    os.makedirs(out, exist_ok=True)
+
+    # Build in a process-unique tmp dir and publish with ONE atomic
+    # rename: the old write-in-place scheme let two concurrent callers
+    # (pytest-xdist workers, bench subprocesses) interleave writes to
+    # the same parquet path, and a third caller admitted by the _DONE
+    # marker could read a file still being rewritten.
+    import shutil
+
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     if n_entities <= PARALLEL_GEN_THRESHOLD:
         pages, truth = build_pages(n_entities, seed)
-        pq.write_table(pages, os.path.join(out, "pages.parquet"))
+        pq.write_table(pages, os.path.join(tmp, "pages.parquet"))
         pq.write_table(build_labeled_pairs(pages, truth),
-                       os.path.join(out, "labeled_pairs.parquet"))
+                       os.path.join(tmp, "labeled_pairs.parquet"))
     else:
         import ray
 
@@ -326,7 +337,7 @@ def ensure_fixture_dir(n_entities: int, seed: int = 42,
             pq.write_table(tbl, path)
             return tbl.num_rows
 
-        pages_dir = os.path.join(out, "pages.parquet")
+        pages_dir = os.path.join(tmp, "pages.parquet")
         os.makedirs(pages_dir, exist_ok=True)
         shard = 12_500
         refs = [
@@ -336,8 +347,27 @@ def ensure_fixture_dir(n_entities: int, seed: int = 42,
             for lo in range(0, n_entities, shard)
         ]
         ray.get(refs)
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
+
+    # a stale partial `out` (old-scheme crash: dir without marker) is
+    # garbage — clear it so the rename can land
+    if os.path.isdir(out) and not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # a concurrent generator won the rename; its output is
+        # byte-identical (pure function of (n_entities, seed)) — wait
+        # for its marker and discard ours
+        shutil.rmtree(tmp, ignore_errors=True)
+        deadline = time.monotonic() + 600
+        while not os.path.exists(marker):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"fixture dir {out} exists but its _DONE marker "
+                    f"never appeared — remove the directory and retry")
+            time.sleep(0.2)
     return out
 
 

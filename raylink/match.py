@@ -250,13 +250,17 @@ def _make_bucket_scorer(cfg: MatchConfig):
         # text_s depends only on the two strings). VERDICT r1 #10.
         text_pre: dict[str, tuple] = {}
 
-        def pre(txt: str) -> tuple:
+        def pre(txt: str | None) -> tuple:
+            # null text reaches the scorer (make_block_key maps it to
+            # the non-null key '|'); treat as "" like the reference's
+            # csv rows do rather than crashing on None.split()
             p = text_pre.get(txt)
             if p is None:
+                s = txt or ""
                 p = text_pre[txt] = (
-                    tokenize_without_stops(txt, stops),
-                    extract_numbers(txt),
-                    set(txt.split()),
+                    tokenize_without_stops(s, stops),
+                    extract_numbers(s),
+                    set(s.split()),
                 )
             return p
 
@@ -276,11 +280,12 @@ def _make_bucket_scorer(cfg: MatchConfig):
                     f"> max_block_pairs={max_pairs}; raise "
                     f"salt_over/num_salts or tighten the blocking key")
             r_pre = [
-                (ids[j], texts[j], *pre(texts[j]), lats[j], lons[j])
+                (ids[j], texts[j] or "", *pre(texts[j]), lats[j],
+                 lons[j])
                 for j in ridx
             ]
             for li in lidx:
-                ltxt = texts[li]
+                ltxt = texts[li] or ""
                 ltok, lnums, ltokens = pre(ltxt)
                 llat, llon = lats[li], lons[li]
                 lgeo = llat is not None and llon is not None
@@ -779,10 +784,14 @@ def unmatched(side_ds, edges, id_col: str, edge_col: str, text_col: str,
     the all-shuffle anti-join is used instead."""
     from .joins import broadcast_anti_join, shuffle_anti_join
 
-    try:
-        n_edges = edges.count()
-    except Exception:  # lazy edge sets of unknown size -> assume big
-        n_edges = broadcast_limit + 1
+    # count() EXECUTES a lazy dataset's whole lineage (it never raises
+    # for "unknown size"), and the anti-join below consumes edges a
+    # second time — so an unmaterialized match DAG would run twice.
+    # Materialize once: the strategy probe and the join then share the
+    # pinned blocks (a no-op for the pipeline, which already passes
+    # materialized/checkpointed edges).
+    edges = edges.materialize()
+    n_edges = edges.count()
     if n_edges <= broadcast_limit:
         un = broadcast_anti_join(side_ds, edges, key=id_col,
                                  keys_key=edge_col)

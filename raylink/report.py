@@ -14,6 +14,7 @@ explicit row cap.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -65,12 +66,26 @@ def pairwise_eval(pred_edges, gold_edges, max_pairs: int = 5_000_000) -> dict:
     """Pairwise precision/recall/F1 of predicted vs gold edge pairs
     (unordered; reference scripts/eval.py semantics, F13). Collects
     both pair sets to the driver — guarded by ``max_pairs``; edge sets
-    are already the small output of a blocked matcher."""
+    are already the small output of a blocked matcher.
 
-    def pair_set(ds) -> set:
+    A gold table carrying an ``is_match`` (or ``match``) boolean
+    column is a LABELED pair set — e.g. the repo's own
+    labeled_pairs.parquet, whose in-block NEGATIVES would otherwise be
+    counted as gold positives (inflating fn and crediting predicted
+    negatives as tp). Only true rows enter the gold set; null labels
+    count as negatives."""
+
+    def pair_set(ds, label_cols: tuple = ()) -> set:
+        cols = ds.schema().names if ds.schema() is not None else []
+        label = next((c for c in label_cols if c in cols), None)
+        keep = ["left_id", "right_id"] + ([label] if label else [])
         out = set()
-        for b in ds.select_columns(["left_id", "right_id"]).iter_batches(
+        for b in ds.select_columns(keep).iter_batches(
                 batch_format="pyarrow"):
+            if label is not None:
+                mask = pc.fill_null(
+                    b.column(label).cast(pa.bool_()), False)
+                b = b.filter(mask)
             for l, r in zip(b.column("left_id").to_pylist(),
                             b.column("right_id").to_pylist()):
                 a, bb = str(l), str(r)
@@ -82,7 +97,7 @@ def pairwise_eval(pred_edges, gold_edges, max_pairs: int = 5_000_000) -> dict:
         return out
 
     pred = pair_set(pred_edges)
-    gold = pair_set(gold_edges)
+    gold = pair_set(gold_edges, label_cols=("is_match", "match"))
     tp = len(pred & gold)
     fp = len(pred - gold)
     fn = len(gold - pred)

@@ -298,3 +298,37 @@ def test_extract_empty_batch_and_undecodable_bytes():
     got = ex(pa.table({"html": pa.array(
         [b"<article>ok \x81 here</article>"], pa.binary())}))
     assert "ok" in got.column("text")[0].as_py()
+
+
+def test_ensure_fixture_dir_atomic_publish(tmp_path):
+    """The fixture cache publishes via ONE atomic rename: concurrent
+    generators can never interleave writes into the served directory,
+    a stale partial dir (crash of the old in-place scheme) is cleared
+    and regenerated, and the marker implies complete files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raylink.fixtures import ensure_fixture_dir
+
+    base = str(tmp_path / "fx")
+    out = ensure_fixture_dir(12, seed=5, base=base)
+    assert os.path.exists(os.path.join(out, "_DONE"))
+    n = pq.read_table(os.path.join(out, "pages.parquet")).num_rows
+    assert n > 0
+    # cached second call: same dir, file untouched
+    mtime = os.path.getmtime(os.path.join(out, "pages.parquet"))
+    assert ensure_fixture_dir(12, seed=5, base=base) == out
+    assert os.path.getmtime(os.path.join(out, "pages.parquet")) == mtime
+
+    # stale partial dir without the marker -> cleared and regenerated
+    import shutil
+
+    shutil.rmtree(out)
+    os.makedirs(out)
+    with open(os.path.join(out, "pages.parquet"), "w") as f:
+        f.write("truncated garbage")
+    out2 = ensure_fixture_dir(12, seed=5, base=base)
+    assert out2 == out
+    assert pq.read_table(
+        os.path.join(out2, "pages.parquet")).num_rows == n

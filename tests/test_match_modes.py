@@ -120,3 +120,29 @@ def test_threshold_prune_invariance():
                           pruned["score"].to_pylist(),
                           pruned["block_key"].to_pylist()))
             assert got == want, (scorer, thr, got ^ want)
+
+
+def test_fuzzy_match_null_text_does_not_crash():
+    """A null text row reaches the bucket scorer (make_block_key maps
+    it to a non-null key), which used to crash on None.split(); it is
+    scored as "" like the reference's csv rows would be."""
+    left = rd.from_arrow(pa.table({
+        "id": pa.array(["l1", "l2"], pa.string()),
+        "text": pa.array(["akasya mahalle no 12", None], pa.string()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "id": pa.array(["r1", "r2"], pa.string()),
+        "text": pa.array(["akasya mah no 12", None], pa.string()),
+    }))
+    cfg = MatchConfig(threshold=80.0, topk=1, left_id="id",
+                      right_id="id", block_by="digits+prefix6",
+                      text_col="text")
+    edges = match_datasets(left, right, cfg,
+                           left_text_col="text",
+                           right_text_col="text").to_pandas()
+    # the real pair matches; the null-null pair is scored as two
+    # IDENTICAL empty strings (text_s=100, rapidfuzz's empty-equal
+    # semantics) and so also clears the threshold — pinned, not
+    # accidental
+    assert set(zip(edges["left_id"], edges["right_id"])) == \
+        {("l1", "r1"), ("l2", "r2")}

@@ -713,3 +713,51 @@ def test_flag_duplicates_null_keys_are_a_group():
     assert len(got) == 5                       # mark, never drop
     assert got["is_duplicate"].tolist() == [True, True, True, True,
                                             False]
+
+
+def test_pairwise_eval_filters_gold_negatives():
+    """A gold table with an is_match column is a LABELED pair set: its
+    negatives must not enter the gold-positive set (they inflated fn
+    and credited predicted negatives as tp before code-review r5)."""
+    from raylink.report import pairwise_eval
+
+    edges = rd.from_items([
+        {"left_id": "l1", "right_id": "r1", "score": 95.0},
+        {"left_id": "l2", "right_id": "rX", "score": 88.0},
+    ])
+    gold = rd.from_items([
+        {"left_id": "l1", "right_id": "r1", "is_match": True},   # tp
+        {"left_id": "l2", "right_id": "r2", "is_match": True},   # fn
+        {"left_id": "l3", "right_id": "r3", "is_match": False},  # ignored
+        {"left_id": "l4", "right_id": "r4", "is_match": None},   # ignored
+    ])
+    m = pairwise_eval(edges, gold)
+    assert (m["tp"], m["fp"], m["fn"]) == (1, 1, 1)
+
+
+def test_connected_components_self_edge_and_null_guard():
+    """A node whose only edge is a self-pair still gets a cluster row
+    (singleton) from BOTH CC paths, and null endpoints raise loudly in
+    both instead of being silently dropped / crashing np.unique."""
+    import pytest
+
+    from raylink.cluster import (connected_components,
+                                 connected_components_blocked)
+
+    edges = rd.from_items([
+        {"left_id": "a", "right_id": "b", "block_key": "k1"},
+        {"left_id": "x", "right_id": "x", "block_key": "k2"},
+    ])
+    want = {"a": "a", "b": "a", "x": "x"}
+    got = connected_components(edges).to_pandas()
+    assert dict(zip(got["id"], got["cluster_id"])) == want
+    got_b = connected_components_blocked(edges).to_pandas()
+    assert dict(zip(got_b["id"], got_b["cluster_id"])) == want
+
+    bad = rd.from_items([
+        {"left_id": "a", "right_id": None, "block_key": "k1"},
+    ])
+    with pytest.raises(Exception, match="null"):
+        connected_components(bad).materialize()
+    with pytest.raises(Exception, match="null"):
+        connected_components_blocked(bad).materialize()
