@@ -277,7 +277,9 @@ def q_events_tumbling_window(sf_dir: str):
     ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        epoch_s = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                    pa.int64()), 1_000_000)  # unit-pinned (us)
         win = pc.multiply(pc.divide(epoch_s, 3600), 3600)
         val_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
         return pa.table(
@@ -300,7 +302,9 @@ def q_events_sliding_window(sf_dir: str):
     ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
 
     def expand(t: pa.Table) -> pa.Table:
-        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        epoch_s = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                    pa.int64()), 1_000_000)  # unit-pinned (us)
         hour = pc.multiply(pc.divide(epoch_s, 3600), 3600)
         val_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
         base = pa.table({"user_id": t["user_id"], "hour": hour,
@@ -883,8 +887,17 @@ def q_knn_bruteforce(sf_dir: str):
     """ANN baseline: exact cosine top-5 neighbours for query vectors
     vec_id 0..2 (self excluded); ranks only — deterministic."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pin the query vectors by VALUE (vec_id IN (0,1,2) — the contract
+    # the SQL oracle hard-codes), not by take(3): take() returns the
+    # first rows in READ order, which nothing guarantees to be vec_id
+    # order (code-review r5)
     qrows = sorted(
-        (r for r in emb.take(3)), key=lambda r: r["vec_id"])
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 3)),
+            batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])
+    assert [r["vec_id"] for r in qrows] == [0, 1, 2], \
+        "embeddings table is missing vec_id 0..2"
     queries = [r["embedding"] for r in qrows]
     res = knn_bruteforce(emb, queries, "embedding", "vec_id", k=5)
     # drop the self hit per query, keep ranks 1..4
@@ -1036,13 +1049,20 @@ def q_pages_extract_sql(sf_dir: str):
     return out.select_columns(["url", "text_extracted"])
 
 
+# ONE extract expression shared by the standalone extract oracle and
+# the end-to-end flagship oracle — the two literal copies could drift
+# (code-review r5): decode -> <article> capture -> the proven-exact
+# 3-replace inverse of html.escape
+_EXTRACT_SQL_EXPR = (
+    "replace(replace(replace(regexp_extract(decode(html), "
+    "'(?s)<article>(.*?)</article>', 1), "
+    "'&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+
+
 def _pages_extract_oracle_sql() -> str:
     fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
     return f"""
-    SELECT url,
-      replace(replace(replace(
-        regexp_extract(decode(html), '(?s)<article>(.*?)</article>', 1),
-        '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS text_extracted
+    SELECT url, {_EXTRACT_SQL_EXPR} AS text_extracted
     FROM read_parquet('{fd}/pages.parquet')
     """
 
@@ -1090,6 +1110,32 @@ LINKAGE_SQL_CFG = MatchConfig(
     scorer="levenshtein", block_by="prefix6", threshold=70.0, topk=2,
     w_text=1.0, w_digits=0.0, w_geo=0.0,
     left_id="pid", right_id="pid", text_col="p_name")
+
+# the SQL twin of _linkage_sql_edges up to `ranked` — ONE copy shared
+# by the linkage_edges_sql and linkage_clusters_sql oracles so the two
+# gates can never silently disagree about what "the same edges" means
+# (code-review r5; mirrors the fixture-oracle pair's shared fragment)
+_PART_LINKAGE_EDGE_CTES = r"""l AS (
+              SELECT p_partkey id, p_name nm,
+                substr(regexp_replace(lower(p_name),
+                       '[^a-z0-9ğüşöçı]', '', 'g'), 1, 6) bk
+              FROM part WHERE p_partkey % 2 = 1
+            ), r AS (
+              SELECT p_partkey id, p_name nm,
+                substr(regexp_replace(lower(p_name),
+                       '[^a-z0-9ğüşöçı]', '', 'g'), 1, 6) bk
+              FROM part WHERE p_partkey % 2 = 0
+            ), scored AS (
+              SELECT l.id lid, r.id rid,
+                (1 - levenshtein(l.nm, r.nm)
+                     / greatest(length(l.nm), length(r.nm))) * 100 s
+              FROM l JOIN r USING (bk)
+            ), ranked AS (
+              SELECT lid, rid,
+                row_number() OVER (PARTITION BY lid
+                                   ORDER BY s DESC, rid ASC) rk
+              FROM scored WHERE s >= 70
+            )"""
 
 
 def _linkage_sql_edges(sf_dir: str):
@@ -1595,7 +1641,10 @@ def q_embedding_near_dup(sf_dir: str):
             exact.add(tuple(sorted((str(a), str(b)))))
     got = {tuple(sorted((x["left_id"], x["right_id"])))
            for x in pairs.take_all()}
-    recall = len(got & exact) / max(1, len(exact))
+    # vacuous truth: no exact pair above the threshold means there is
+    # nothing to recall — 1.0, not 0/1 = 0 (which would fire the floor
+    # assert on a perfectly-behaved sparse input)
+    recall = (len(got & exact) / len(exact)) if exact else 1.0
     if recall < 0.8:
         raise AssertionError(
             f"embedding LSH recall {recall:.3f} below floor 0.8")
@@ -1718,7 +1767,15 @@ def q_knn_ivf(sf_dir: str):
     sample = np.array([r["embedding"] for r in emb.take(256)])
     idx = IVFIndex(n_lists=8, n_probe=3).fit(sample)
     assigned = idx.assign_dataset(emb, "embedding").materialize()
-    qrows = sorted((r for r in emb.take(3)), key=lambda r: r["vec_id"])
+    # pinned by VALUE like q_knn_bruteforce: vec_id 0..2, not the
+    # first 3 rows in read order
+    qrows = sorted(
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 3)),
+            batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])
+    assert [r["vec_id"] for r in qrows] == [0, 1, 2], \
+        "embeddings table is missing vec_id 0..2"
     qvecs = [r["embedding"] for r in qrows]
     res = idx.search(assigned, qvecs, "embedding", "vec_id", k=5)
     exact = knn_bruteforce(emb, qvecs, "embedding", "vec_id", k=5)
@@ -1974,7 +2031,13 @@ def _norm_sql_expr(col: str) -> str:
         ("bulv", "bulvar"), ("bulvari", "bulvar"),
         ("apt.", "apartman"), ("apt", "apartman"),
     ]:
-        pat = re.escape(src).replace("\\", "\\\\")
+        # re.escape gives the RE2-valid literal pattern ('mah\.');
+        # doubling the backslash again ('mah\\.') made it match a
+        # LITERAL backslash, so the 12 dotted rules could never fire in
+        # SQL while the engine's \bmah\.\b DOES fire when the dot abuts
+        # a word char ('mah.5' -> 'mahalle5'; PARITY #12) — DuckDB
+        # standard strings keep backslashes literal, no extra escaping
+        pat = re.escape(src)
         n = f"regexp_replace({n}, '\\b{pat}\\b', '{tgt}', 'g')"
     n = f"regexp_replace({n}, " + r"'[^\w\s]', ' ', 'g')"
     return f"trim(regexp_replace({n}, " + r"'\s+', ' ', 'g'))"
@@ -2337,9 +2400,7 @@ def _linkage_edges_fixture_oracle_sql() -> str:
     round), and per-left top-3 ranked by (rounded score desc, right_id
     asc) — the engine's pinned tiebreak (match.py:287)."""
     fd = ensure_fixture_dir(PARSE_SQL_ENTITIES)
-    extract = ("replace(replace(replace(regexp_extract(decode(html), "
-               "'(?s)<article>(.*?)</article>', 1), "
-               "'&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+    extract = _EXTRACT_SQL_EXPR
     norm = _norm_sql_expr("text")
     lev = ("(1 - levenshtein(l.addr_norm, r.addr_norm) / "
            "greatest(length(l.addr_norm), length(r.addr_norm))) * 100")
@@ -2912,53 +2973,12 @@ def oracle_sql() -> dict[str, str]:
         "linkage_clusters_e2e": _linkage_clusters_fixture_oracle_sql(),
         "parts_signature": _parts_signature_oracle_sql(),
         "weak_label_pages": _weak_label_oracle_sql(),
-        "linkage_edges_sql": r"""
-            WITH l AS (
-              SELECT p_partkey id, p_name nm,
-                substr(regexp_replace(lower(p_name),
-                       '[^a-z0-9ğüşöçı]', '', 'g'), 1, 6) bk
-              FROM part WHERE p_partkey % 2 = 1
-            ), r AS (
-              SELECT p_partkey id, p_name nm,
-                substr(regexp_replace(lower(p_name),
-                       '[^a-z0-9ğüşöçı]', '', 'g'), 1, 6) bk
-              FROM part WHERE p_partkey % 2 = 0
-            ), scored AS (
-              SELECT l.id lid, r.id rid,
-                (1 - levenshtein(l.nm, r.nm)
-                     / greatest(length(l.nm), length(r.nm))) * 100 s
-              FROM l JOIN r USING (bk)
-            ), ranked AS (
-              SELECT lid, rid,
-                row_number() OVER (PARTITION BY lid
-                                   ORDER BY s DESC, rid ASC) rk
-              FROM scored WHERE s >= 70
-            )
+        "linkage_edges_sql": "WITH " + _PART_LINKAGE_EDGE_CTES + r"""
             SELECT lid AS left_id, rid AS right_id
             FROM ranked WHERE rk <= 2
         """,
-        "linkage_clusters_sql": r"""
-            WITH RECURSIVE l AS (
-              SELECT p_partkey id, p_name nm,
-                substr(regexp_replace(lower(p_name),
-                       '[^a-z0-9ğüşöçı]', '', 'g'), 1, 6) bk
-              FROM part WHERE p_partkey % 2 = 1
-            ), r AS (
-              SELECT p_partkey id, p_name nm,
-                substr(regexp_replace(lower(p_name),
-                       '[^a-z0-9ğüşöçı]', '', 'g'), 1, 6) bk
-              FROM part WHERE p_partkey % 2 = 0
-            ), scored AS (
-              SELECT l.id lid, r.id rid,
-                (1 - levenshtein(l.nm, r.nm)
-                     / greatest(length(l.nm), length(r.nm))) * 100 s
-              FROM l JOIN r USING (bk)
-            ), ranked AS (
-              SELECT lid, rid,
-                row_number() OVER (PARTITION BY lid
-                                   ORDER BY s DESC, rid ASC) rk
-              FROM scored WHERE s >= 70
-            ), edges AS (
+        "linkage_clusters_sql": "WITH RECURSIVE "
+        + _PART_LINKAGE_EDGE_CTES + r""", edges AS (
               SELECT lid, rid FROM ranked WHERE rk <= 2
             ), sym AS (
               SELECT lid a, rid b FROM edges

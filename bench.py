@@ -48,15 +48,17 @@ import sys
 import time
 
 
-def _cpu_calibration() -> float:
-    """Fixed-work single-thread loop (~0.3 s quiet): its wall time is a
-    pure function of ambient CPU contention, so start/end readings in
-    the JSON let a reader detect a noisy window from the artifact
-    alone (VERDICT r4 #1)."""
+def _cpu_calibration(iters: int = 60_000) -> float:
+    """Fixed-work single-thread loop (~0.3 s quiet at the default
+    iters): its wall time is a pure function of ambient CPU
+    contention, so start/end readings in the JSON let a reader detect
+    a noisy window from the artifact alone (VERDICT r4 #1). The SAME
+    loop body (at 4x iters) is the no-Ray hardware-ceiling workload,
+    so the control and the probes measure one profile."""
     s = "akasya mahallesi guven caddesi no 12 daire 3 bodrum mugla"
     t0 = time.perf_counter()
     acc = 0
-    for _ in range(60_000):
+    for _ in range(iters):
         toks = s.lower().split()
         d = {t: j for j, t in enumerate(toks)}
         acc += len(" ".join(sorted(d)))
@@ -66,6 +68,10 @@ def _cpu_calibration() -> float:
 
 def _calib_worker(_i: int) -> float:
     return _cpu_calibration()
+
+
+def _churn_worker() -> None:
+    _cpu_calibration(240_000)
 
 
 def _parallel_calibration(n: int) -> float:
@@ -296,21 +302,16 @@ def _hardware_cpu_ceiling(n_lo: int, n_hi: int) -> float:
     should be read against this ceiling."""
     import multiprocessing as mp
 
-    def churn(q):
-        t0 = time.perf_counter()
-        s = "akasya mahallesi guven caddesi no 12 daire 3 bodrum mugla"
-        acc = 0
-        for _ in range(240_000):
-            toks = s.lower().split()
-            d = {t: j for j, t in enumerate(toks)}
-            acc += len(" ".join(sorted(d)))
-        q.put(time.perf_counter() - t0)
-
+    # module-level worker (not a closure): picklable under the spawn/
+    # forkserver start methods, and reuses the SAME fixed-work loop as
+    # the calibration probes so the control measures the identical
+    # workload profile (code-review r5: the old local-closure copy had
+    # its own loop body and piped walls into a queue nobody read)
     def thr(n: int) -> float:
         best = 0.0
         for _ in range(2):
-            q = mp.Queue()
-            ps = [mp.Process(target=churn, args=(q,)) for _ in range(n)]
+            ps = [mp.Process(target=_churn_worker)
+                  for _ in range(n)]
             t0 = time.perf_counter()
             [p.start() for p in ps]
             [p.join() for p in ps]

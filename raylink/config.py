@@ -54,12 +54,13 @@ DEFAULT_NORMALIZE_CFG: dict = {
     "abbreviations": {
         # expand_abbr families from configs/normalize.yaml:5-12 inverted
         # to src->target word-boundary replacements.
-        # NOTE (PARITY #12): keys ending in '.' are inert in BOTH
-        # engines — the shared rule compiles to \b<src>\.\b and \b
-        # after '.' needs a following word char, which "mah. " never
-        # has (reference addresskit/normalize.py:118-122 has the
-        # identical dead keys). They are kept because the reference
-        # config carries them; the dotless twins do the real work.
+        # NOTE (PARITY #12): keys ending in '.' compile to
+        # \b<src>\.\b in BOTH engines (reference
+        # addresskit/normalize.py:118-122 builds the same pattern);
+        # \b after '.' needs a following WORD char, so the rule is
+        # dead before a space/end ("mah. x" — the dotless twin does
+        # the work) but fires when the dot abuts a word char
+        # ("mah.5" -> "mahalle5").
         "mah.": "mahalle", "mah": "mahalle", "mh.": "mahalle",
         "mh": "mahalle", "mahallesi": "mahalle",
         "cad.": "cadde", "cad": "cadde", "cd.": "cadde", "caddesi": "cadde",

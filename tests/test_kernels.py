@@ -330,18 +330,35 @@ def test_blocking_mode_missing_n_raises_config_error():
 
 def test_dead_dotted_abbreviation_keys_parity():
     """PARITY #12: abbreviation keys ending in '.' compile to
-    \\b<src>\\.\\b, and \\b after the dot needs a following word char —
-    so 'cd. ' / 'mah. ' NEVER match, in BOTH engines (the reference
-    builds the identical pattern, addresskit/normalize.py:118-122).
-    Dotted keys are inert; the dotless twins do the real work."""
+    \\b<src>\\.\\b, and \\b after the dot needs a following WORD char —
+    so 'cd. ' / 'mah. ' (before space/end) never match, but 'mah.5'
+    DOES, in BOTH engines (the reference builds the identical pattern,
+    addresskit/normalize.py:118-122)."""
     # the reference's literal rule, reproduced inline: no expansion
+    # before a space, expansion when the dot abuts a word char
     assert (re.sub(r"\bcd\.\b", "cadde", "istiklal cd. no 5")
             == "istiklal cd. no 5")
+    assert (re.sub(r"\bmah\.\b", "mahalle", "akasya mah.5 x")
+            == "akasya mahalle5 x")
     # ours behaves identically: 'cd.' has no dotless twin in the
     # default config, so the token survives (punct-stripped to 'cd')
     assert normalize_text("istiklal cd. no:5") == "istiklal cd no 5"
     # dotted keys WITH a dotless twin are rescued by the twin
     assert normalize_text("akasya mah. guven") == "akasya mahalle guven"
+    # the abutting case: the DOTTED rule itself fires
+    assert normalize_text("akasya mah.5 guven") == "akasya mahalle5 guven"
+    # and the generated SQL twin agrees on both cases (its dotted
+    # patterns were double-escaped — matching a literal backslash,
+    # never the text — until code-review r5)
+    import duckdb
+
+    from __ray_entry__ import _norm_sql_expr
+
+    for s in ("akasya mah.5 guven", "akasya mah. guven",
+              "istiklal cd. no:5", "yildiz cad.7 sk. 2"):
+        got = duckdb.sql(
+            f"SELECT {_norm_sql_expr(repr(s))}").fetchone()[0]
+        assert got == normalize_text(s), s
 
 
 def test_parse_word_class_dotless_i_parity():

@@ -74,6 +74,14 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            # a misspelled name used to be silently skipped -> the
+            # tool printed "0 failures" without running anything
+            print(f"FAIL unknown query name(s): {sorted(unknown)}; "
+                  f"known: {sorted(qs)[:8]}...")
+            failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
