@@ -616,7 +616,7 @@ class ContaminationCheck:
 
 
 def flag_contaminated(ds, text_col: str, bench_ds, bench_text_col: str,
-                      n: int = 8, concurrency: int = 4,
+                      n: int = 8, concurrency: int | None = None,
                       batch_size: int = 4096,
                       max_bench_entries: int = MAX_BENCH_NGRAMS):
     """Append per-doc benchmark-overlap columns: n_ngrams (total
@@ -626,6 +626,18 @@ def flag_contaminated(ds, text_col: str, bench_ds, bench_text_col: str,
     one-line ``ds.filter`` the pipeline owner controls."""
     ref = benchmark_ngrams(bench_ds, bench_text_col, n,
                            max_entries=max_bench_entries)
+    if concurrency is None:
+        # The stage is embarrassingly parallel and the probe set is
+        # small by contract (eval sets; loud MAX_BENCH_NGRAMS bound),
+        # so size the pool to the session like paragraph_dedup's
+        # rebuild pool does — the old fixed cap of 4 left 28 of 32
+        # CPUs idle and was the whole stage wall (24.2 s -> measured
+        # with cpus-4 below). A few CPUs stay headroom for the
+        # upstream read tasks.
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, cpus - 4)
     return ds.map_batches(
         ContaminationCheck,
         fn_constructor_args=(ref, text_col, n),
