@@ -386,6 +386,107 @@ def hash_split_sql_case(id_col: str, fractions: dict[str, float],
 
 
 # ---------------------------------------------------------------------------
+# deterministic weighted sampling without replacement (A-Res)
+# ---------------------------------------------------------------------------
+
+def _weighted_key(t: pa.Table, id_col: str, weight_col: str,
+                  seed: int, use_str: bool) -> np.ndarray:
+    """The A-Res rank key ``uniform(id) ** (1 / weight)`` — Efraimidis
+    & Spirakis, "Weighted random sampling with a reservoir" (IPL 2006,
+    Algorithm A): taking the k LARGEST keys yields a weighted sample
+    without replacement. ``uniform(id)`` is the repo's pinned
+    ``CAST(hash AS DOUBLE) / 2^64`` (see :func:`bernoulli_sample`), so
+    the key — hence the whole sample — is content-keyed, deterministic
+    under any partitioning, and bit-reproducible in SQL as
+    ``pow(u, 1.0 / CAST(w AS DOUBLE))`` (both sides are one libm
+    ``pow`` on the same doubles). Weights must be finite and > 0:
+    a null/NaN weight makes every comparison against the key silently
+    False (the bernoulli rate-guard failure mode), and w <= 0 inverts
+    or degenerates the key, so all three raise loudly."""
+    u = _uniform_of(t.column(id_col), seed, use_str,
+                    "weighted_sample", id_col)
+    wc = t.column(weight_col)
+    if wc.null_count:
+        raise ValueError(
+            f"weighted_sample: weight column {weight_col!r} has "
+            f"{wc.null_count} null(s); weights must be non-null")
+    w = np.asarray(wc.cast(pa.float64()))
+    bad = ~np.isfinite(w) | (w <= 0.0)
+    if bad.any():
+        raise ValueError(
+            f"weighted_sample: weight column {weight_col!r} has "
+            f"{int(bad.sum())} non-finite or <= 0 value(s); weights "
+            "must be finite and > 0")
+    return u ** (1.0 / w)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int,
+                    seed: int = 42, combine_size: int = 64) -> pa.Table:
+    """Weighted sample WITHOUT replacement of ``k`` rows (inclusion
+    odds proportional to ``weight_col``, e.g. domain-temperature
+    corpus mixing where :func:`bernoulli_sample`'s independent
+    coin-flips must instead hit an exact sample size). Returns the
+    sampled rows as one small Arrow table (<= k rows), ordered by
+    (key DESC, id ASC) — the SQL twin's ORDER BY — with the key
+    dropped.
+
+    Scale shape (the sketch-family plan, mirroring
+    ``sketch.frequent_items``): each block reduces to its own top-k
+    inside ``map_batches`` — top-k is associative/commutative/
+    IDEMPOTENT as a set op, so partials tree-combine and the driver
+    only ever sees O(k) rows per combine output; the corpus itself
+    never shuffles. Project the dataset to the columns you need
+    BEFORE sampling — partials ship whole rows (k per block).
+
+    Bit-reproducible in SQL (:func:`weighted_sample_sql`) provided
+    ``id_col`` is unique per row: duplicate ids share one uniform, so
+    equal (key, id) pairs tie and both engines pick an arbitrary
+    winner among them."""
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    use_str = _require_hashable_id(ds, id_col, "weighted_sample")
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = _weighted_key(t, id_col, weight_col, seed, use_str)
+        if "_ws_key" in t.column_names:
+            raise ValueError("weighted_sample: column _ws_key exists")
+        t = t.append_column("_ws_key", pa.array(key, pa.float64()))
+        return _ws_top_k(t, id_col, k)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .map_batches(lambda t: _ws_top_k(t, id_col, k),
+                        batch_format="pyarrow",
+                        batch_size=combine_size * k)
+           .take_all())
+    sch = pa.schema(list(_pa_schema(ds)) + [("_ws_key", pa.float64())])
+    final = _ws_top_k(pa.Table.from_pylist(out, schema=sch), id_col, k)
+    return final.drop_columns(["_ws_key"])
+
+
+def _ws_top_k(t: pa.Table, id_col: str, k: int) -> pa.Table:
+    """Keep the k largest rows by (_ws_key DESC, id ASC) — one stable
+    lexsort, O(n log n) per block of at most combine_size * k rows."""
+    key = np.asarray(t.column("_ws_key"))
+    ids = t.column(id_col).to_pandas().to_numpy()
+    order = np.lexsort((ids, -key))[:k]
+    return t.take(pa.array(order, pa.int64()))
+
+
+def weighted_sample_sql(table_expr: str, id_col: str, weight_col: str,
+                        k: int, seed: int = 42,
+                        string_id: bool = False) -> str:
+    """SELECT mirroring :func:`weighted_sample` row-for-row: the same
+    uniform, the same ``pow`` key, the same (key DESC, id ASC) order,
+    LIMIT k."""
+    h = (sample_hash_str_sql_expr(id_col, seed) if string_id
+         else sample_hash_sql_expr(id_col, seed))
+    u = f"(CAST({h} AS DOUBLE) / {_U64_SPAN!r})"
+    key = f"pow({u}, 1.0 / CAST({weight_col} AS DOUBLE))"
+    return (f"SELECT * FROM {table_expr} "
+            f"ORDER BY {key} DESC, {id_col} LIMIT {int(k)}")
+
+
+# ---------------------------------------------------------------------------
 # deterministic sequence packing (training-batch preparation)
 # ---------------------------------------------------------------------------
 

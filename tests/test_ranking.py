@@ -3,6 +3,7 @@ sampling, each hash-checked against an in-test DuckDB window-function
 oracle (the driver gate is at its 50-query cap, so these beyond-
 reference operators carry their oracle here instead)."""
 
+import pytest
 import duckdb
 import numpy as np
 import pandas as pd
@@ -207,3 +208,92 @@ def test_top_k_per_group_bigint_and_null_groups():
     rows = sorted(zip(got.column("id").to_pylist(),
                       got.column("g").to_pylist()))
     assert rows == [("b", g1), ("d", g2), ("f", None)]
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (A-Res)
+# ---------------------------------------------------------------------------
+
+def _ws_frame(n=2000, seed=19):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "domain": rng.choice(["a.com", "b.org", "c.net"], size=n),
+        "w": rng.choice([0.5, 1.0, 4.0, 25.0], size=n),
+    })
+
+
+def test_weighted_sample_matches_duckdb_twin_bitwise():
+    from raylink.ranking import weighted_sample, weighted_sample_sql
+
+    df = _ws_frame()
+    got = weighted_sample(
+        rd.from_pandas(df).repartition(6), "doc_id", "w",
+        k=100).to_pandas()
+    want = duckdb.sql(
+        weighted_sample_sql("df", "doc_id", "w", k=100)).df()
+    pd.testing.assert_frame_equal(got, want)  # row order included
+
+
+def test_weighted_sample_string_ids_and_partition_invariance():
+    from raylink.ranking import weighted_sample, weighted_sample_sql
+
+    df = _ws_frame(800)
+    df["sid"] = "u" + df["doc_id"].astype(str)
+    df = df.drop(columns=["doc_id"])
+    a = weighted_sample(rd.from_pandas(df).repartition(2), "sid", "w",
+                        k=50, combine_size=2).to_pandas()
+    b = weighted_sample(rd.from_pandas(df).repartition(13), "sid", "w",
+                        k=50).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    want = duckdb.sql(weighted_sample_sql(
+        "df", "sid", "w", k=50, string_id=True)).df()
+    pd.testing.assert_frame_equal(a[want.columns.tolist()], want)
+
+
+def test_weighted_sample_k_covers_input_returns_all_rows():
+    from raylink.ranking import weighted_sample
+
+    df = _ws_frame(40)
+    got = weighted_sample(rd.from_pandas(df).repartition(3),
+                          "doc_id", "w", k=100).to_pandas()
+    assert len(got) == 40
+    assert sorted(got["doc_id"]) == sorted(df["doc_id"])
+
+
+def test_weighted_sample_heavy_weights_dominate():
+    from raylink.ranking import weighted_sample
+
+    # 100 heavy rows (w=200) among 2000 light ones (w=1): expected
+    # heavy share of a k=200 sample is ~0.91; the draw is
+    # deterministic for the fixed seed, so assert the realized share
+    n = 2100
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "w": np.where(np.arange(n) < 100, 200.0, 1.0),
+    })
+    got = weighted_sample(rd.from_pandas(df).repartition(5),
+                          "doc_id", "w", k=200).to_pandas()
+    heavy = (got["doc_id"] < 100).sum()
+    assert heavy >= 80  # vs ~9.5 expected under uniform sampling
+
+
+def test_weighted_sample_guards():
+    from raylink.ranking import weighted_sample
+
+    base = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "w": [1.0, 2.0, 3.0]})
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(rd.from_pandas(base), "doc_id", "w", k=0)
+    for bad in ([1.0, None, 2.0], [1.0, float("nan"), 2.0],
+                [1.0, 0.0, 2.0], [1.0, -3.0, 2.0],
+                [1.0, float("inf"), 2.0]):
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "w": bad})
+        with pytest.raises(Exception,
+                           match="null|non-finite or <= 0"):
+            weighted_sample(rd.from_pandas(df), "doc_id", "w", k=2)
+    # null STRING ids pass the dtype guard and hit the null-id check
+    nid = pd.DataFrame({"doc_id": ["a", None, "c"],
+                        "w": [1.0, 2.0, 3.0]})
+    with pytest.raises(Exception, match="contains nulls"):
+        weighted_sample(rd.from_pandas(nid), "doc_id", "w", k=2)

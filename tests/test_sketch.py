@@ -368,3 +368,113 @@ def test_hll_by_bigint_group_keys_stay_distinct():
     assert set(est) == {g1, g2, None}
     assert abs(est[g1] - 50) / 50 < 0.15
     assert abs(est[g2] - 20) / 20 < 0.15
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch
+# ---------------------------------------------------------------------------
+
+def _qs_frame(n=5000, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "v": rng.lognormal(mean=2.0, sigma=1.5, size=n),
+    })
+
+
+def test_quantile_sketch_matches_duckdb_twin_bitwise():
+    from raylink.sketch import quantile_sketch, quantile_sketch_sql
+
+    df = _qs_frame()
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    got, m = quantile_sketch(
+        rd.from_pandas(df).repartition(7), "v", "doc_id", qs, k=512)
+    assert m == 512
+    want = duckdb.sql(
+        quantile_sketch_sql("df", "v", "doc_id", qs, k=512)).df()
+    pd.testing.assert_frame_equal(got, want)  # exact, incl. float bits
+
+
+def test_quantile_sketch_partitioning_invariance():
+    from raylink.sketch import quantile_sketch
+
+    df = _qs_frame(3000)
+    qs = [0.25, 0.5, 0.75]
+    a, ma = quantile_sketch(rd.from_pandas(df).repartition(2),
+                            "v", "doc_id", qs, k=256, combine_size=2)
+    b, mb = quantile_sketch(rd.from_pandas(df).repartition(16),
+                            "v", "doc_id", qs, k=256, combine_size=64)
+    assert ma == mb == 256
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_quantile_sketch_rank_error_within_dkw():
+    from raylink.sketch import quantile_sketch
+
+    df = _qs_frame(20000, seed=3)
+    k = 2048
+    qs = [0.1, 0.5, 0.9]
+    got, m = quantile_sketch(rd.from_pandas(df).repartition(8),
+                             "v", "doc_id", qs, k=k)
+    assert m == k
+    # eps at delta=1e-3 by DKW: sqrt(ln(2/delta) / (2k)) ~ 0.0431
+    eps = float(np.sqrt(np.log(2 / 1e-3) / (2 * k)))
+    v_sorted = np.sort(df["v"].to_numpy())
+    for q, est in zip(got["q"], got["value"]):
+        rank = np.searchsorted(v_sorted, est) / len(v_sorted)
+        assert abs(rank - q) <= eps, (q, est, rank, eps)
+
+
+def test_quantile_sketch_exact_when_k_covers_input():
+    from raylink.sketch import quantile_sketch
+
+    df = _qs_frame(300)
+    qs = [0.0, 0.37, 0.5, 1.0]
+    got, m = quantile_sketch(rd.from_pandas(df).repartition(5),
+                             "v", "doc_id", qs, k=1000)
+    assert m == 300
+    want = duckdb.sql(
+        "SELECT * FROM (" + " UNION ALL ".join(
+            f"SELECT {q!r} AS q, quantile_cont(CAST(v AS DOUBLE), "
+            f"{q!r}) AS value FROM df" for q in qs) + ")").df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_quantile_sketch_nulls_ignored_and_string_ids():
+    from raylink.sketch import quantile_sketch, quantile_sketch_sql
+
+    df = pd.DataFrame({
+        "sid": [f"d{i}" for i in range(400)],
+        "v": [float(i) if i % 3 else None for i in range(400)],
+    })
+    got, m = quantile_sketch(rd.from_pandas(df).repartition(3),
+                             "v", "sid", [0.5], k=64)
+    assert m == 64
+    want = duckdb.sql(quantile_sketch_sql(
+        "df", "v", "sid", [0.5], k=64, string_id=True)).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_quantile_sketch_guards():
+    from raylink.sketch import quantile_sketch
+
+    # null STRING ids pass the dtype guard and hit the null-id check
+    df = pd.DataFrame({"doc_id": ["a", None], "v": [1.0, 2.0]})
+    with pytest.raises(Exception, match="contains nulls"):
+        quantile_sketch(rd.from_pandas(df), "v", "doc_id", [0.5], k=4)
+    ok = pd.DataFrame({"doc_id": [1, 2], "v": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="within"):
+        quantile_sketch(rd.from_pandas(ok), "v", "doc_id", [1.5], k=4)
+    with pytest.raises(ValueError, match="k must be"):
+        quantile_sketch(rd.from_pandas(ok), "v", "doc_id", [0.5], k=0)
+
+
+def test_quantile_sketch_empty_and_all_null_input():
+    from raylink.sketch import quantile_sketch
+
+    df = pd.DataFrame({"doc_id": pd.array([1, 2], dtype="int64"),
+                       "v": pd.array([None, None], dtype="float64")})
+    got, m = quantile_sketch(rd.from_pandas(df), "v", "doc_id",
+                             [0.5], k=8)
+    assert m == 0
+    assert got["value"].isna().all()
