@@ -60,6 +60,8 @@ from raylink.quality import (
 )
 from raylink.scoring import haversine_km_vec
 from raylink.simsearch import knn_bruteforce
+from raylink.ranking import weighted_sample_sql as _ws_sql
+from raylink.sketch import quantile_sketch_sql as _qs_sql
 from raylink.textstats import (
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -443,7 +445,7 @@ def q_distinct_event_types(sf_dir: str):
     return ev.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
-def q_union_sample(sf_dir: str):
+def q_union_sample_only(sf_dir: str):
     """Union (D6) of two filtered views + deterministic systematic
     sample (K5 without RNG): doc_id % 10 == 0."""
     docs = _t(sf_dir, "documents", ["doc_id", "lang"])
@@ -463,6 +465,80 @@ def q_union_sample(sf_dir: str):
                      0))
 
     return en.union(de).map_batches(sample, batch_format="pyarrow")
+
+
+def q_union_sample(sf_dir: str):
+    """r5 fold #8 (pattern of `top_orders`): the sampling-family gate
+    row. kind=0 is the original D6/K5 union + systematic sample;
+    kind=1 is `ranking.weighted_sample` — A-Res weighted sampling
+    WITHOUT replacement (k=25, weight = n_chars, i.e. long docs
+    preferred — the domain-temperature corpus-mixing primitive);
+    kind=2 is `sketch.quantile_sketch` — deterministic bottom-k-hash
+    quantiles of n_chars (k=64 << 500 rows, so the gate exercises the
+    genuinely approximate path). One slot, three operators; the
+    oracle is the three component twins UNION ALL'd — kind=1/2 via
+    the GENERATED `weighted_sample_sql` / `quantile_sketch_sql`
+    bit-reproducible twins (tests/test_ranking.py, tests/
+    test_sketch.py prove them bit-green under repartitioning)."""
+    import ray.data as rd
+
+    from raylink.ranking import weighted_sample
+    from raylink.sketch import quantile_sketch
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "kind": pa.array([0] * n, pa.int32()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "q": pa.nulls(n, pa.float64()),
+            "value": pa.nulls(n, pa.float64()),
+        })
+
+    base = q_union_sample_only(sf_dir).map_batches(
+        tag_base, batch_format="pyarrow")
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def with_w(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "w": pc.cast(t["n_chars"], pa.float64()),
+        })
+
+    ws = weighted_sample(
+        docs.map_batches(with_w, batch_format="pyarrow"),
+        "doc_id", "w", k=_WS_K, seed=_WS_SEED)
+    n = len(ws)
+    ws_t = pa.table({
+        "kind": pa.array([1] * n, pa.int32()),
+        "doc_id": pc.cast(ws["doc_id"], pa.int64()),
+        "lang": pc.cast(ws["lang"], pa.string()),
+        "q": pa.nulls(n, pa.float64()),
+        "value": pa.nulls(n, pa.float64()),
+    })
+
+    qdf, _m = quantile_sketch(docs, "n_chars", "doc_id",
+                              _QS_QS, k=_QS_K, seed=_WS_SEED)
+    qs_t = pa.table({
+        "kind": pa.array([2] * len(qdf), pa.int32()),
+        "doc_id": pa.nulls(len(qdf), pa.int64()),
+        "lang": pa.nulls(len(qdf), pa.string()),
+        "q": pa.array(qdf["q"], pa.float64()),
+        "value": pa.array(qdf["value"], pa.float64()),
+    })
+
+    return base.union(rd.from_arrow(ws_t), rd.from_arrow(qs_t))
+
+
+# pinned fold parameters shared by q_union_sample and its oracle
+_WS_K, _WS_SEED = 25, 42
+_QS_K, _QS_QS = 64, (0.1, 0.5, 0.9, 0.99)
+_WS_TWIN = _ws_sql(
+    "(SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w"
+    " FROM documents)", "doc_id", "w", _WS_K, _WS_SEED)
+_QS_TWIN = _qs_sql("documents", "n_chars", "doc_id",
+                   list(_QS_QS), _QS_K, _WS_SEED)
 
 
 def q_missing_report(sf_dir: str):
@@ -2640,9 +2716,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n FROM events
             GROUP BY event_type
         """,
-        "union_sample": """
-            SELECT doc_id, lang FROM documents
+        # r5 fold #8: kind=0 union+systematic sample; kind=1 GENERATED
+        # weighted_sample_sql twin (A-Res pow-key, same hash, same
+        # ORDER BY key DESC, id LIMIT k); kind=2 GENERATED
+        # quantile_sketch_sql twin (identical bottom-k sample +
+        # quantile_cont interpolation).
+        "union_sample": f"""
+            SELECT CAST(0 AS INTEGER) AS kind, doc_id, lang,
+                   CAST(NULL AS DOUBLE) AS q,
+                   CAST(NULL AS DOUBLE) AS value
+            FROM documents
             WHERE lang IN ('en','de') AND doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(1 AS INTEGER), doc_id, lang,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM ({_WS_TWIN})
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), q, value
+            FROM ({_QS_TWIN})
         """,
         "missing_report": """
             SELECT col AS "column",
