@@ -1925,6 +1925,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": q_event_sessions,
         "events_sliding_window": q_events_sliding_window,
         "distinct_event_types": q_distinct_event_types,
+        # r5 fold #8: weighted_sample (kind=1) + quantile_sketch
+        # (kind=2) ride inside union_sample (kind=0 = the original
+        # union + systematic sample); oracle = the three component
+        # twins UNION ALL'd, kind=1/2 GENERATED by
+        # weighted_sample_sql / quantile_sketch_sql.
         "union_sample": q_union_sample,
         "missing_report": q_missing_report,
         "length_stats_by_lang": q_length_stats_by_lang,
