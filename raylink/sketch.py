@@ -793,3 +793,83 @@ def quantile_sketch_sql(table_expr: str, col: str, id_col: str, qs,
         f"SELECT {float(q)!r} AS q, quantile_cont(v, {float(q)!r}) "
         f"AS value FROM s" for q in qs)
     return f"WITH s AS ({sample}) {arms}"
+
+
+def filter_by_quantile(ds, col: str, id_col: str,
+                       lo: float | None = None,
+                       hi: float | None = None, k: int = 4096,
+                       seed: int = 42):
+    """Percentile-gate a corpus: keep rows whose ``col`` lies within
+    the [lo, hi] QUANTILES of the column's distribution — the
+    downstream consumer of :func:`quantile_sketch` a training-data
+    pipeline actually runs ("drop documents below the 10th percentile
+    of the quality score / above the 99th of the repetition signal").
+    At 100 TB an exact global percentile needs a full sort; here the
+    thresholds come from the deterministic bottom-k-hash sketch
+    (O(k) rows to the driver, DKW rank-error bound in
+    :func:`quantile_sketch`) and the gate itself is ONE shuffle-free
+    vectorized ``map_batches`` pass against the two broadcast
+    threshold doubles.
+
+    Pinned semantics, mirrored bit-for-bit by
+    :func:`filter_by_quantile_sql`: bounds are INCLUSIVE, compared in
+    the float64 domain (``CAST(col AS DOUBLE)``); rows with a NULL
+    ``col`` are dropped (SQL comparison semantics — a NULL never
+    satisfies ``>=``); at least one bound is required. Returns
+    ``(filtered_ds, thresholds)`` where ``thresholds`` is the small
+    ``{q: value}`` dict so callers can log/checkpoint the realized
+    cut points."""
+    if lo is None and hi is None:
+        raise ValueError(
+            "filter_by_quantile: provide lo and/or hi in [0, 1]")
+    qs = [q for q in (lo, hi) if q is not None]
+    qdf, _m = quantile_sketch(ds, col, id_col, qs, k=k, seed=seed)
+    if _m == 0:
+        raise ValueError(
+            f"filter_by_quantile: column {col!r} has no non-null "
+            "values; thresholds are undefined")
+    thresholds = dict(zip(qdf["q"], qdf["value"]))
+    lo_v = thresholds[float(lo)] if lo is not None else None
+    hi_v = thresholds[float(hi)] if hi is not None else None
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = t.column(col).cast(pa.float64())
+        mask = v.is_valid()
+        if lo_v is not None:
+            mask = pc.and_(mask, pc.greater_equal(v, lo_v))
+        if hi_v is not None:
+            mask = pc.and_(mask, pc.less_equal(v, hi_v))
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(gate, batch_format="pyarrow"), thresholds
+
+
+def filter_by_quantile_sql(table_expr: str, col: str, id_col: str,
+                           lo: float | None = None,
+                           hi: float | None = None, k: int = 4096,
+                           seed: int = 42,
+                           string_id: bool = False) -> str:
+    """SELECT mirroring :func:`filter_by_quantile` row-for-row: the
+    thresholds come from the identical :func:`quantile_sketch_sql`
+    sample and the gate applies the identical inclusive float64
+    comparisons (NULL ``col`` rows fail them, matching the Ray side's
+    explicit drop)."""
+    if lo is None and hi is None:
+        raise ValueError(
+            "filter_by_quantile_sql: provide lo and/or hi in [0, 1]")
+    qs = [q for q in (lo, hi) if q is not None]
+    twin = quantile_sketch_sql(table_expr, col, id_col, qs, k=k,
+                               seed=seed, string_id=string_id)
+    conds = []
+    if lo is not None:
+        conds.append(
+            f"CAST({col} AS DOUBLE) >= (SELECT value FROM thr "
+            f"WHERE q = {float(lo)!r})")
+    if hi is not None:
+        conds.append(
+            f"CAST({col} AS DOUBLE) <= (SELECT value FROM thr "
+            f"WHERE q = {float(hi)!r})")
+    return (f"WITH thr AS ({twin}) SELECT * FROM {table_expr} "
+            f"WHERE {' AND '.join(conds)}")

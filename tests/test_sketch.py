@@ -478,3 +478,53 @@ def test_quantile_sketch_empty_and_all_null_input():
                              [0.5], k=8)
     assert m == 0
     assert got["value"].isna().all()
+
+
+def test_filter_by_quantile_matches_duckdb_twin_bitwise():
+    from raylink.sketch import filter_by_quantile, filter_by_quantile_sql
+
+    df = _qs_frame()
+    got_ds, thr = filter_by_quantile(
+        rd.from_pandas(df).repartition(7), "v", "doc_id",
+        lo=0.1, hi=0.9, k=512)
+    got = (got_ds.to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    want = (duckdb.sql(filter_by_quantile_sql(
+        "df", "v", "doc_id", lo=0.1, hi=0.9, k=512)).df()
+        .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # the realized cut fraction is near 80% (DKW-bounded rank error)
+    assert abs(len(got) / len(df) - 0.8) < 0.08
+    assert set(thr) == {0.1, 0.9} and thr[0.1] < thr[0.9]
+
+
+def test_filter_by_quantile_single_bound_and_nulls_dropped():
+    from raylink.sketch import filter_by_quantile, filter_by_quantile_sql
+
+    df = _qs_frame(600)
+    df.loc[df.index % 5 == 0, "v"] = None
+    got_ds, thr = filter_by_quantile(
+        rd.from_pandas(df).repartition(3), "v", "doc_id", lo=0.25)
+    got = (got_ds.to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    assert got["v"].notna().all()  # NULL col rows dropped
+    want = (duckdb.sql(filter_by_quantile_sql(
+        "df", "v", "doc_id", lo=0.25)).df()
+        .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_filter_by_quantile_guards():
+    from raylink.sketch import filter_by_quantile, filter_by_quantile_sql
+
+    df = _qs_frame(20)
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        filter_by_quantile(rd.from_pandas(df), "v", "doc_id")
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        filter_by_quantile_sql("df", "v", "doc_id")
+    allnull = pd.DataFrame({"doc_id": [1, 2],
+                            "v": [None, None]}).astype(
+        {"v": "float64"})
+    with pytest.raises(ValueError, match="no non-null"):
+        filter_by_quantile(rd.from_pandas(allnull), "v", "doc_id",
+                           lo=0.5)
