@@ -818,7 +818,16 @@ def filter_by_quantile(ds, col: str, id_col: str,
     satisfies ``>=``); at least one bound is required. Returns
     ``(filtered_ds, thresholds)`` where ``thresholds`` is the small
     ``{q: value}`` dict so callers can log/checkpoint the realized
-    cut points."""
+    cut points.
+
+    COST NOTE (stated loudly, per the repo's no-silent-costs rule):
+    the sketch pass and the gate pass each execute ``ds``'s upstream
+    lineage once — two executions total, the unavoidable shape of any
+    data-dependent threshold over a lazy stream. When the upstream is
+    an expensive chain (extract/parse), checkpoint or
+    ``materialize()`` it first; when it is a bare ``read_parquet``,
+    the sketch pass costs only an ``(id_col, col)`` read and the
+    double read is cheaper than any materialization."""
     if lo is None and hi is None:
         raise ValueError(
             "filter_by_quantile: provide lo and/or hi in [0, 1]")
