@@ -13,12 +13,14 @@ Usage (local or as a Ray job):
 
 Stages (each optional flag turns one on; order is fixed):
   1. repetition signals + Gopher-style gate (--max-dup-line-frac)
-  2. benchmark decontamination (--benchmark; flags, then drops rows
+  2. quality-percentile gate (--min-quality-quantile; threshold from
+     the deterministic quantile sketch, one shuffle-free filter pass)
+  3. benchmark decontamination (--benchmark; flags, then drops rows
      with any n-gram hit)
-  3. cross-document paragraph dedup (--dedup-paragraphs)
-  4. token-window chunking (--chunk/--overlap; output becomes one row
+  4. cross-document paragraph dedup (--dedup-paragraphs)
+  5. token-window chunking (--chunk/--overlap; output becomes one row
      per chunk, ids become "<id>#<chunk_idx>")
-  5. deterministic hash split (--split; content-keyed, stable across
+  6. deterministic hash split (--split; content-keyed, stable across
      reruns and corpus growth)
 
 Output: ``out/<split>/`` partitioned Parquet per split (or
@@ -46,6 +48,11 @@ def main(argv=None) -> int:
                    metavar="F",
                    help="drop docs whose duplicate-line fraction "
                         "exceeds F (Gopher-style repetition gate)")
+    p.add_argument("--min-quality-quantile", type=float, default=None,
+                   metavar="Q",
+                   help="drop docs below the Q-quantile of the "
+                        "composite quality score (sketch-derived "
+                        "threshold, one extra shuffle-free pass)")
     p.add_argument("--benchmark", default=None,
                    help="parquet of eval texts; docs sharing any "
                         "--ngram word n-gram with it are dropped")
@@ -108,6 +115,21 @@ def main(argv=None) -> int:
         # expr filters run vectorized on Arrow blocks; the lambda form
         # boxed every row into a dict (r5)
         ds = ds.filter(expr=f"dup_line_frac_e6 <= {cut}")
+
+    if args.min_quality_quantile is not None:
+        from .sketch import filter_by_quantile
+        from .textstats import add_quality_score
+
+        # percentile gate: threshold from the deterministic quantile
+        # sketch, then one shuffle-free filter pass. The sketch pass
+        # re-executes the upstream lineage once (filter_by_quantile
+        # COST NOTE) — upstream here is read + cheap vectorized
+        # gates, so the double pass beats materializing the corpus.
+        ds = add_quality_score(ds, text_col)
+        ds, thr = filter_by_quantile(
+            ds, "quality", id_col, lo=args.min_quality_quantile,
+            seed=args.seed)
+        report["quality_threshold"] = thr[args.min_quality_quantile]
 
     if args.benchmark:
         bench = rd.read_parquet(args.benchmark)

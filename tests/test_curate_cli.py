@@ -99,3 +99,35 @@ def test_curate_cli_refuses_stale_out(tmp_path):
     assert main(argv + ["--overwrite"]) == 0
     n_second = rd.read_parquet(out).count()
     assert n_first == n_second == 20     # no stale mixing
+
+
+def test_curate_cli_quality_quantile_gate(tmp_path, capsys):
+    """--min-quality-quantile drops the low-quality tail at the
+    sketch-derived threshold and reports the realized cut point."""
+    import pyarrow as pa
+
+    # 10 junk docs (too short + pure punctuation => quality ~0) among
+    # 40 normal prose docs
+    docs = pd.DataFrame({
+        "doc_id": range(50),
+        "text": [("!!! ???" if i < 10 else
+                  f"this is a normal document {i} with the usual "
+                  "words and a readable body of prose")
+                 for i in range(50)],
+    })
+    docs_p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(docs), docs_p)
+    out = str(tmp_path / "curated")
+
+    rc = main(["--docs", docs_p, "--out", out,
+               "--min-quality-quantile", "0.2"])
+    assert rc == 0
+    report = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_in"] == 50
+    got = rd.read_parquet(out).to_pandas()
+    # every junk doc is below the P20 threshold; survivors carry the
+    # quality column and all clear the reported cut point
+    assert report["all"] == len(got) < 50
+    assert (got["doc_id"] >= 10).all()
+    assert (got["quality"] >= report["quality_threshold"]).all()
